@@ -1,0 +1,324 @@
+"""Vectorized loss functions.
+
+Dense masked-tensor formulations of the reference's Python-loop losses
+(`segmentation/model/loss.py`, 545 LoC — see SURVEY.md §2.5).  Every loss
+is a pure jittable function of arrays + a static ``ProtoSpec``; validity
+conditions the reference expresses as ``continue`` statements become
+multiplicative masks, and the final "mean over contributing items" uses a
+safe masked mean.
+
+Conventions (shared with the reference):
+- ``targets`` are raw resized labels: 0 = void, class c stored as c+1;
+  every loss subtracts 1 first (ref loss.py:32,75).
+- ``distances``/``activations`` arrive as (B, H, W, P) NHWC (the
+  framework's layout; reference uses (B, P, H, W) / flat (B*N, P)).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scaleprotoseg_tpu.spec import ProtoSpec
+
+_NEG_BIG = -1e30
+
+
+def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean over entries with mask==1; 0.0 when nothing contributes
+    (matching the reference's empty-list -> tensor(0.0) behavior)."""
+    total = jnp.sum(values * mask)
+    count = jnp.sum(mask)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+
+
+def _flatten_pixels(x: jax.Array) -> jax.Array:
+    """(B, H, W, K) -> (B, N, K)."""
+    return x.reshape(x.shape[0], -1, x.shape[-1])
+
+
+def _class_pixel_mask(targets: jax.Array, num_classes: int
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Returns ((B, C, N) float mask of class pixels, (B, C) counts)."""
+    t = targets.reshape(targets.shape[0], -1).astype(jnp.int32) - 1
+    mask = (t[:, None, :] == jnp.arange(num_classes)[None, :, None])
+    mask = mask.astype(jnp.float32)
+    return mask, jnp.sum(mask, axis=-1)
+
+
+def _masked_log_softmax(z: jax.Array, mask: jax.Array) -> jax.Array:
+    """log_softmax over the last axis restricted to mask==1 entries.
+
+    Masked-out entries receive a large-negative score so they carry ~zero
+    probability; outputs at those entries are meaningless and must be
+    multiplied by the mask downstream (finite, so 0 * value stays 0).
+    """
+    zm = jnp.where(mask > 0, z, _NEG_BIG)
+    zmax = jax.lax.stop_gradient(jnp.max(zm, axis=-1, keepdims=True))
+    zs = zm - zmax
+    lse = jnp.log(jnp.sum(jnp.exp(zs), axis=-1, keepdims=True))
+    return zs - lse
+
+
+# ---------------------------------------------------------------------------
+# Cross entropy (ref loss.py:9-50)
+# ---------------------------------------------------------------------------
+def pixel_wise_cross_entropy(
+    logits: jax.Array,
+    targets: jax.Array,
+    ignore_void: bool = True,
+    class_weights: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pixel-wise CE with void ignoring and per-pixel correctness.
+
+    Args:
+      logits: (..., C) — any leading pixel dims.
+      targets: (...) raw labels (0 = void).
+
+    Returns:
+      (scalar loss, (...,) correct float mask, (...,) valid float mask).
+    """
+    num_classes = logits.shape[-1]
+    flat_logits = logits.reshape(-1, num_classes)
+    t = targets.reshape(-1).astype(jnp.int32) - 1
+    valid = (t >= 0) if ignore_void else jnp.ones_like(t, dtype=bool)
+    t_safe = jnp.clip(t, 0, num_classes - 1)
+    logp = jax.nn.log_softmax(flat_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[t_safe]
+    else:
+        w = jnp.ones_like(nll)
+    w = w * valid.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1e-12)
+    loss = jnp.sum(nll * w) / denom
+    correct = (jnp.argmax(flat_logits, axis=-1) == t_safe) & valid
+    return loss, correct.astype(jnp.float32), valid.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale prototype KLD (ref loss.py:53-146)
+# ---------------------------------------------------------------------------
+def kld_loss(distances: jax.Array, targets: jax.Array,
+             spec: ProtoSpec) -> jax.Array:
+    """Symmetric-KL diversity loss over same-class same-scale prototypes.
+
+    For each (image, present class, scale) the reference softmaxes each
+    class-scale prototype's *distance* map over the class's pixels and
+    pushes pairwise distributions apart: loss = mean over pairs of
+    exp(-symKL).  Pairs contribute only when the class has >= 2 pixels in
+    the image and the (class, scale) cell has >= 2 prototypes.
+    """
+    d = _flatten_pixels(distances).astype(jnp.float32)        # (B, N, P)
+    idx = jnp.asarray(spec.class_scale_proto_index)           # (C, S, k)
+    kmask = jnp.asarray(spec.class_scale_proto_mask)          # (C, S, k)
+    pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
+
+    d_sel = jnp.take(d, jnp.maximum(idx, 0), axis=-1)         # (B,N,C,S,k)
+    d_sel = jnp.transpose(d_sel, (0, 2, 3, 4, 1))             # (B,C,S,k,N)
+    pm = pixmask[:, :, None, None, :]                         # (B,C,1,1,N)
+    logp = _masked_log_softmax(d_sel, pm)                     # (B,C,S,k,N)
+    prob = jnp.exp(logp) * pm                                 # (B,C,S,k,N)
+
+    # sym KL over prototype pairs within each (b, c, s):
+    # KL(j||l) = sum_n p_j (logp_j - logp_l)
+    ent = jnp.sum(prob * logp, axis=-1)                       # (B,C,S,k)
+    cross = jnp.einsum("bcskn,bcsln->bcskl", prob, logp)      # E_j . logp_l
+    kl_jl = ent[..., :, None] - cross                         # KL(j||l)
+    sym = 0.5 * (kl_jl + jnp.swapaxes(kl_jl, -1, -2))         # (B,C,S,k,k)
+    value = jnp.exp(-sym)
+
+    k = idx.shape[-1]
+    upper = jnp.triu(jnp.ones((k, k), jnp.float32), 1)
+    pair_mask = (kmask[..., :, None] * kmask[..., None, :] *
+                 upper[None, None])                           # (C,S,k,k)
+    has_pixels = (counts >= 2).astype(jnp.float32)            # (B,C)
+    full_mask = pair_mask[None] * has_pixels[:, :, None, None, None]
+    return _masked_mean(value, full_mask)
+
+
+# ---------------------------------------------------------------------------
+# Per-pixel prototype entropy (ref loss.py:214-284, EntropySamplLoss)
+# ---------------------------------------------------------------------------
+def entropy_sampl_loss(activations: jax.Array, targets: jax.Array,
+                       spec: ProtoSpec) -> jax.Array:
+    """Entropy across a class-scale's prototypes at each class pixel,
+    normalized by log(k), averaged over class pixels then over
+    (image, present class, scale) cells."""
+    a = _flatten_pixels(activations).astype(jnp.float32)      # (B, N, P)
+    idx = jnp.asarray(spec.class_scale_proto_index)           # (C, S, k)
+    kmask = jnp.asarray(spec.class_scale_proto_mask)
+    k_counts = jnp.asarray(spec.class_scale_counts, jnp.float32)  # (C, S)
+    pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
+
+    a_sel = jnp.take(a, jnp.maximum(idx, 0), axis=-1)         # (B,N,C,S,k)
+    logp = _masked_log_softmax(a_sel, kmask[None, None])      # over k
+    prob = jnp.exp(logp) * kmask[None, None]
+    log_norm = jnp.log(jnp.maximum(k_counts, 2.0))            # guard k<2
+    ent = -jnp.sum(prob * logp, axis=-1) / log_norm[None, None]  # (B,N,C,S)
+
+    pm = pixmask.transpose(0, 2, 1)[..., None]                # (B,N,C,1)
+    per_cell = jnp.sum(ent * pm, axis=1) / \
+        jnp.maximum(counts[..., None], 1.0)                   # (B,C,S)
+    cell_valid = ((counts[..., None] >= 1) & (k_counts[None] >= 1)
+                  ).astype(jnp.float32)
+    return _masked_mean(per_cell, cell_valid)
+
+
+# ---------------------------------------------------------------------------
+# Spatial prototype entropy (ref loss.py:149-211, EntropySpatLoss)
+# ---------------------------------------------------------------------------
+def entropy_spat_loss(activations: jax.Array, targets: jax.Array,
+                      spec: ProtoSpec) -> jax.Array:
+    """Entropy of each class prototype's activation distribution over the
+    class's pixels, normalized by log(n_pixels), averaged over the class's
+    prototypes then over (image, class) with >= 2 class pixels."""
+    a = _flatten_pixels(activations).astype(jnp.float32)      # (B, N, P)
+    idx = jnp.asarray(spec.class_proto_index)                 # (C, Pc)
+    pcmask = jnp.asarray(spec.class_proto_mask)               # (C, Pc)
+    pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
+
+    a_sel = jnp.take(a, jnp.maximum(idx, 0), axis=-1)         # (B,N,C,Pc)
+    a_sel = jnp.transpose(a_sel, (0, 2, 3, 1))                # (B,C,Pc,N)
+    pm = pixmask[:, :, None, :]                               # (B,C,1,N)
+    logp = _masked_log_softmax(a_sel, pm)
+    prob = jnp.exp(logp) * pm
+    log_norm = jnp.log(jnp.maximum(counts, 2.0))              # (B,C)
+    ent = -jnp.sum(prob * logp, axis=-1) / log_norm[:, :, None]  # (B,C,Pc)
+
+    per_bc = jnp.sum(ent * pcmask[None], axis=-1) / \
+        jnp.maximum(jnp.sum(pcmask, -1)[None], 1.0)           # (B,C)
+    valid = ((counts >= 2) &
+             (jnp.sum(pcmask, -1)[None] >= 1)).astype(jnp.float32)
+    return _masked_mean(per_bc, valid)
+
+
+# ---------------------------------------------------------------------------
+# Activation norm (ref loss.py:287-348, NormLoss)
+# ---------------------------------------------------------------------------
+def norm_loss(activations: jax.Array, targets: jax.Array, spec: ProtoSpec,
+              norm_type: str = "l1") -> jax.Array:
+    """Mean L1-per-pixel (or Linf) of class-prototype activations over the
+    class's pixels, averaged over prototypes then (image, present class)."""
+    a = _flatten_pixels(activations).astype(jnp.float32)
+    idx = jnp.asarray(spec.class_proto_index)
+    pcmask = jnp.asarray(spec.class_proto_mask)
+    pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
+
+    a_sel = jnp.take(a, jnp.maximum(idx, 0), axis=-1)         # (B,N,C,Pc)
+    a_sel = jnp.transpose(a_sel, (0, 2, 3, 1))                # (B,C,Pc,N)
+    pm = pixmask[:, :, None, :]
+    if norm_type == "l1":
+        per_proto = jnp.sum(jnp.abs(a_sel) * pm, axis=-1) / \
+            jnp.maximum(counts[:, :, None], 1.0)
+    elif norm_type == "linf":
+        per_proto = jnp.max(jnp.abs(a_sel) * pm, axis=-1)
+    else:
+        raise ValueError(norm_type)
+    per_bc = jnp.sum(per_proto * pcmask[None], axis=-1) / \
+        jnp.maximum(jnp.sum(pcmask, -1)[None], 1.0)
+    valid = ((counts >= 1) &
+             (jnp.sum(pcmask, -1)[None] >= 1)).astype(jnp.float32)
+    return _masked_mean(per_bc, valid)
+
+
+# ---------------------------------------------------------------------------
+# Group-weight losses (ref loss.py:351-464) — functions of weights only
+# ---------------------------------------------------------------------------
+def entropy_group_loss(group_weights: jax.Array, spec: ProtoSpec,
+                       epsilon: float = 1e-5) -> jax.Array:
+    """Entropy of each group's prototype-weight row, normalized by
+    log(P_c) (ref loss.py:398-426).  ``group_weights`` is the framework's
+    padded dense (C, G, Pc_max); simplex-projected rows have exact zeros at
+    padded slots so they contribute 0 * log(eps) = 0, as if absent."""
+    w = group_weights.astype(jnp.float32)
+    pc = jnp.asarray(spec.class_counts, jnp.float32)          # (C,)
+    log_norm = jnp.log(jnp.maximum(pc, 2.0))
+    ent = -jnp.sum(w * jnp.log(w + epsilon), axis=-1) / \
+        log_norm[:, None]                                     # (C, G)
+    valid = jnp.broadcast_to(
+        jnp.asarray(spec.class_has_protos)[:, None], ent.shape)
+    return _masked_mean(ent, valid)
+
+
+def cross_entropy_group_loss(group_weights: jax.Array, spec: ProtoSpec,
+                             epsilon: float = 1e-5) -> jax.Array:
+    """Maximize dissimilarity between a class's group rows: returns the
+    mean over ordered pairs i != j of sum_p w_i log(clamp(w_j, eps))
+    (ref loss.py:429-464 returns the negated mean of the negated sums)."""
+    w = group_weights.astype(jnp.float32)
+    logw = jnp.log(jnp.maximum(w, epsilon))
+    cross = jnp.einsum("cip,cjp->cij", w, logw)               # (C, G, G)
+    g = w.shape[1]
+    offdiag = 1.0 - jnp.eye(g, dtype=jnp.float32)
+    valid = jnp.asarray(spec.class_has_protos)[:, None, None] * offdiag[None]
+    return _masked_mean(cross, valid)
+
+
+def scale_max_loss(group_weights: jax.Array, spec: ProtoSpec) -> jax.Array:
+    """Encourage each group to weight every scale: negative mean over
+    (class, scale) of the group-averaged max weight within the scale's
+    column block (ref loss.py:351-395)."""
+    w = group_weights.astype(jnp.float32)                     # (C, G, Pc)
+    smask = jnp.asarray(spec.class_proto_scale_mask)          # (C, S, Pc)
+    masked = jnp.where(smask[:, :, None, :] > 0,
+                       w[:, None, :, :], _NEG_BIG)            # (C,S,G,Pc)
+    per_group_max = jnp.max(masked, axis=-1)                  # (C, S, G)
+    per_cell = jnp.mean(per_group_max, axis=-1)               # (C, S)
+    cell_valid = (jnp.sum(smask, axis=-1) >= 1).astype(jnp.float32) * \
+        jnp.asarray(spec.class_has_protos)[:, None]
+    return -_masked_mean(per_cell, cell_valid)
+
+
+# ---------------------------------------------------------------------------
+# Group-activation KLD (ref loss.py:467-545, KLDLossGroup)
+# ---------------------------------------------------------------------------
+def kld_group_loss(group_activations: jax.Array, targets: jax.Array,
+                   spec: ProtoSpec) -> jax.Array:
+    """Same-class inter-group symmetric-KL diversity: softmax each group's
+    activation over the class's pixels, mean of exp(-symKL) over group
+    pairs of (image, present class) with >= 2 class pixels.
+
+    Args:
+      group_activations: (B, H, W, C, G) dense group activations (the
+        framework's ``compute_group`` output before flattening to C*G).
+    """
+    b = group_activations.shape[0]
+    g = group_activations.shape[-1]
+    a = group_activations.reshape(b, -1, spec.num_classes, g)
+    a = jnp.transpose(a, (0, 2, 3, 1)).astype(jnp.float32)    # (B,C,G,N)
+    pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
+
+    pm = pixmask[:, :, None, :]                               # (B,C,1,N)
+    logp = _masked_log_softmax(a, pm)
+    prob = jnp.exp(logp) * pm
+    ent = jnp.sum(prob * logp, axis=-1)                       # (B,C,G)
+    cross = jnp.einsum("bcgn,bchn->bcgh", prob, logp)
+    kl = ent[..., :, None] - cross
+    sym = 0.5 * (kl + jnp.swapaxes(kl, -1, -2))
+    value = jnp.exp(-sym)
+
+    upper = jnp.triu(jnp.ones((g, g), jnp.float32), 1)
+    valid = ((counts >= 2).astype(jnp.float32)[:, :, None, None] *
+             jnp.asarray(spec.class_has_protos)[None, :, None, None] *
+             upper[None, None])
+    return _masked_mean(value, valid)
+
+
+# ---------------------------------------------------------------------------
+# Off-class sparsity (inline in ref module_multiscale.py:257-261)
+# ---------------------------------------------------------------------------
+def last_layer_l1(last_layer_weight: jax.Array,
+                  identity: jax.Array) -> jax.Array:
+    """L1 norm of last-layer weights masked to other-class connections.
+
+    Args:
+      last_layer_weight: (in_features, C) — the framework stores the last
+        layer as ``act @ W``; the reference's (C, in) weight is W.T.
+      identity: (in_features, C) one-hot own-class identity
+        (``prototype_class_identity`` or ``group_class_identity``).
+    """
+    mask = 1.0 - jnp.asarray(identity)
+    return jnp.sum(jnp.abs(last_layer_weight * mask))
