@@ -1,0 +1,145 @@
+"""DeepLabV2 dilated-ResNet backbone with sum/concat ASPP heads.
+
+TPU-native (NHWC, bf16-capable) re-design of the reference's missing
+`deeplab_pytorch` submodule surface (SURVEY.md §2.3): a COCO-style dilated
+ResNet (stem ``layer1``, res-layers ``layer2..layer5`` with bottleneck
+units named ``reduce``/``conv3x3``/``increase``/``shortcut`` — the naming
+is pinned by the torchvision key remap at
+`segmentation/model/deeplab_features.py:18-60`) followed by an ASPP head
+with four parallel 3x3 atrous branches ``c0..c3``
+(`module_multiscale.py:398-407`):
+
+- ``aspp_mode='sum'``: branch outputs summed — classic DeepLabV2
+  (`deeplab_features.py:64-68`), output C = n_out.
+- ``aspp_mode='concat'``: branch outputs concatenated — the ScaleProtoSeg
+  multiscale head (`deeplab_features.py:113-119`); each atrous rate is one
+  "scale", output C = len(rates) * n_out, scale s occupies channels
+  ``[s*n_out, (s+1)*n_out)`` (fine rate 6 first).
+
+Output stride is 8: layer3 strides 2, layer4/5 use dilation 2/4.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from scaleprotoseg_tpu.models.layers import ConvBN, max_pool_ceil
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce -> 3x3 (dilated) -> 1x1 increase, projection shortcut on
+    the first block of a layer.  Stride lives on the reduce conv (COCO/caffe
+    convention, matching the reference weight layout)."""
+
+    mid: int
+    out: int
+    stride: int
+    dilation: int
+    shortcut: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train_bn: bool = False):
+        h = ConvBN(self.mid, (1, 1), strides=(self.stride,) * 2,
+                   dtype=self.dtype, name="reduce")(x, train_bn)
+        h = ConvBN(self.mid, (3, 3), dilation=(self.dilation,) * 2,
+                   dtype=self.dtype, name="conv3x3")(h, train_bn)
+        h = ConvBN(self.out, (1, 1), relu=False, dtype=self.dtype,
+                   name="increase")(h, train_bn)
+        if self.shortcut:
+            s = ConvBN(self.out, (1, 1), strides=(self.stride,) * 2,
+                       relu=False, dtype=self.dtype, name="shortcut")(x, train_bn)
+        else:
+            s = x
+        return nn.relu(h + s)
+
+
+class ResLayer(nn.Module):
+    n_blocks: int
+    mid: int
+    out: int
+    stride: int
+    dilation: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train_bn: bool = False):
+        for i in range(self.n_blocks):
+            x = Bottleneck(mid=self.mid, out=self.out,
+                           stride=self.stride if i == 0 else 1,
+                           dilation=self.dilation, shortcut=(i == 0),
+                           dtype=self.dtype, name=f"block{i + 1}")(x, train_bn)
+        return x
+
+
+class Stem(nn.Module):
+    """7x7/2 conv + BN + ReLU + 3x3/2 ceil-mode max pool."""
+
+    out: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train_bn: bool = False):
+        x = ConvBN(self.out, (7, 7), strides=(2, 2),
+                   padding=((3, 3), (3, 3)), dtype=self.dtype,
+                   name="conv1")(x, train_bn)
+        return max_pool_ceil(x, window=3, strides=2, padding=1)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling: parallel 3x3 atrous convs c0..c3."""
+
+    n_out: int
+    rates: Sequence[int]
+    mode: str  # 'sum' | 'concat'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        branches = [
+            nn.Conv(self.n_out, (3, 3), padding=[(r, r), (r, r)],
+                    kernel_dilation=(r, r), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"c{i}")(x)
+            for i, r in enumerate(self.rates)
+        ]
+        if self.mode == "sum":
+            out = branches[0]
+            for b in branches[1:]:
+                out = out + b
+            return out
+        if self.mode == "concat":
+            return jnp.concatenate(branches, axis=-1)
+        raise ValueError(f"Unknown ASPP mode: {self.mode}")
+
+
+class DeepLabV2(nn.Module):
+    """Dilated ResNet + ASPP feature extractor (output stride 8).
+
+    ``n_blocks=(3, 4, 23, 3)`` -> ResNet-101, ``(3, 4, 6, 3)`` -> ResNet-50.
+    Returns NHWC features: (B, ceil(H/8)+pad, ceil(W/8)+pad, C_out) where
+    C_out = n_out for 'sum' and len(rates)*n_out for 'concat'.
+    """
+
+    n_out: int
+    n_blocks: Tuple[int, ...] = (3, 4, 23, 3)
+    atrous_rates: Tuple[int, ...] = (6, 12, 18, 24)
+    aspp_mode: str = "concat"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train_bn: bool = False):
+        ch = [64 * 2 ** p for p in range(6)]
+        x = Stem(out=ch[0], dtype=self.dtype, name="layer1")(x, train_bn)
+        x = ResLayer(self.n_blocks[0], ch[0], ch[2], 1, 1,
+                     dtype=self.dtype, name="layer2")(x, train_bn)
+        x = ResLayer(self.n_blocks[1], ch[1], ch[3], 2, 1,
+                     dtype=self.dtype, name="layer3")(x, train_bn)
+        x = ResLayer(self.n_blocks[2], ch[2], ch[4], 1, 2,
+                     dtype=self.dtype, name="layer4")(x, train_bn)
+        x = ResLayer(self.n_blocks[3], ch[3], ch[5], 1, 4,
+                     dtype=self.dtype, name="layer5")(x, train_bn)
+        return ASPP(self.n_out, self.atrous_rates, self.aspp_mode,
+                    dtype=self.dtype, name="aspp")(x)
