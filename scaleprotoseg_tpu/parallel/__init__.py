@@ -1,0 +1,2 @@
+from scaleprotoseg_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding, create_mesh, replicate, shard_batch)

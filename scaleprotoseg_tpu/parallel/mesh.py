@@ -1,0 +1,50 @@
+"""Device mesh + sharding rules: the framework's communication backend.
+
+The reference is strictly single-GPU (SURVEY.md §2: ``Trainer.gpus = 1``
+everywhere, no NCCL/MPI anywhere); distribution is a new first-class
+component here.  Design (SURVEY.md §5.8):
+
+- one ``jax.sharding.Mesh`` with a ``data`` axis over ICI (optionally a
+  leading ``dcn`` axis for multi-slice later),
+- batch-data-parallel training via ``jax.jit`` with NamedSharding
+  annotations: batches are sharded on ``data``, params/optimizer state
+  replicated, and XLA inserts the gradient ``psum`` automatically from
+  the sharding propagation (no hand-written collectives needed for DP),
+- push/eval fan out as data-parallel sharded scans over the dataset.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``create_mesh``
+and feed per-host shards (``loader.py`` handles host sharding).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None,
+                devices: Optional[Sequence] = None,
+                axis_name: str = "data") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Device-put a host batch with the leading dim sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

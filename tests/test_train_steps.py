@@ -1,0 +1,180 @@
+"""Training-step integration tests: every phase runs jitted, losses are
+finite, frozen partitions stay untouched, invariants hold, and the step
+runs data-parallel on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from scaleprotoseg_tpu.models.deeplab import DeepLabV2
+from scaleprotoseg_tpu.models.ppnet import PPNet
+from scaleprotoseg_tpu.parallel import create_mesh, shard_batch
+from scaleprotoseg_tpu.spec import ProtoSpec
+from scaleprotoseg_tpu.train.optim import (
+    label_params, make_phase_optimizer, partition_params, phase_groups,
+    poly_schedule)
+from scaleprotoseg_tpu.train.state import TrainState
+from scaleprotoseg_tpu.train.steps import (
+    LossWeights, make_eval_step, make_train_step)
+
+HP = dict(warm_lr_add_on=2.5e-4, warm_lr_protos=2.5e-4, warm_wd=5e-4,
+          joint_lr_features=2.5e-5, joint_lr_add_on=2.5e-4,
+          joint_lr_protos=2.5e-4, joint_wd=5e-4, last_layer_lr=1e-4,
+          warm_lr_group=2.5e-4, joint_lr_group=2.5e-4)
+
+
+def _build(grouped=False):
+    spec = ProtoSpec.equal_allocation(24, 8, num_classes=3, num_scales=4,
+                                      num_groups=3 if grouped else 0)
+    backbone = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat")
+    model = PPNet(backbone=backbone, spec=spec,
+                  backbone_channels=spec.feature_depth, grouped=grouped)
+    x = jnp.zeros((2, 65, 65, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, spec, variables
+
+
+def _make_state_and_step(model, spec, variables, variant, phase,
+                         weights=LossWeights(kld=0.25), iter_size=1,
+                         **step_kw):
+    groups = phase_groups(variant, phase, HP)
+    trainable, _ = partition_params(variables["params"], set(groups))
+    labels = label_params(trainable)
+    sched = poly_schedule(0.9, 100) if phase == 1 else None
+    tx = make_phase_optimizer(groups, labels, schedule=sched,
+                              iter_size=iter_size)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats"),
+                              tx.init(trainable))
+    step_kw.setdefault("donate", False)  # tests inspect pre-step arrays
+    step = make_train_step(model, spec, tx, set(groups), weights, **step_kw)
+    return state, step
+
+
+def _batch(rng, b=2):
+    image = rng.standard_normal((b, 65, 65, 3)).astype(np.float32)
+    target = rng.integers(0, 4, size=(b, 65, 65)).astype(np.int32)
+    return jnp.asarray(image), jnp.asarray(target)
+
+
+@pytest.mark.parametrize("variant,phase", [
+    ("multiscale", 0), ("multiscale", 1), ("multiscale", 2)])
+def test_proto_phases_step_and_freeze(rng, variant, phase):
+    model, spec, variables = _build()
+    state, step = _make_state_and_step(model, spec, variables, variant,
+                                       phase)
+    image, target = _batch(rng)
+    before = traverse_util.flatten_dict(state.params, sep="/")
+    new_state, metrics = step(state, image, target)
+    after = traverse_util.flatten_dict(new_state.params, sep="/")
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["kld_loss"]))
+    assert 0 <= float(metrics["n_correct"]) <= float(metrics["n_patches"])
+
+    groups = phase_groups(variant, phase, HP)
+    from scaleprotoseg_tpu.train.optim import label_of_path
+    changed = {k for k in after
+               if not np.array_equal(np.array(before[k]),
+                                     np.array(after[k]))}
+    for k in after:
+        label = label_of_path(tuple(k.split("/")))
+        if label in groups:
+            continue  # trainable; may or may not change
+        assert k not in changed, f"frozen param {k} ({label}) changed"
+    # something must have moved
+    assert changed
+
+
+def test_warmup_trains_aspp_but_not_backbone(rng):
+    model, spec, variables = _build()
+    state, step = _make_state_and_step(model, spec, variables,
+                                       "multiscale", 0)
+    image, target = _batch(rng)
+    new_state, _ = step(state, image, target)
+    flat_b = traverse_util.flatten_dict(state.params, sep="/")
+    flat_a = traverse_util.flatten_dict(new_state.params, sep="/")
+    aspp_moved = any(
+        not np.array_equal(np.array(flat_b[k]), np.array(flat_a[k]))
+        for k in flat_a if "aspp" in k)
+    backbone_moved = any(
+        not np.array_equal(np.array(flat_b[k]), np.array(flat_a[k]))
+        for k in flat_a if k.startswith("backbone/layer"))
+    assert aspp_moved and not backbone_moved
+
+
+@pytest.mark.parametrize("phase", [0, 1, 2])
+def test_group_phases(rng, phase):
+    model, spec, variables = _build(grouped=True)
+    state, step = _make_state_and_step(
+        model, spec, variables, "group", phase,
+        weights=LossWeights(kld=0.25, group_ent=0.05),
+        project_group_simplex=True)
+    image, target = _batch(rng)
+    new_state, metrics = step(state, image, target)
+    assert np.isfinite(float(metrics["loss"]))
+    gw = np.array(new_state.params["group_projection"])
+    # simplex invariant after the step (ref group_train.py:337-338)
+    np.testing.assert_allclose(gw.sum(-1), 1.0, rtol=1e-4)
+    assert (gw >= -1e-7).all()
+    assert (gw * (1 - spec.class_proto_mask[:, None, :]) == 0).all()
+    if phase == 0:
+        # only group_projection may change
+        assert np.array_equal(np.array(state.params["last_layer_group"]),
+                              np.array(new_state.params["last_layer_group"]))
+
+
+def test_group_grad_masking(rng):
+    model, spec, variables = _build(grouped=True)
+    state, step = _make_state_and_step(
+        model, spec, variables, "group", 1,
+        weights=LossWeights(), grad_mask_last_group=True,
+        project_group_simplex=True)
+    image, target = _batch(rng)
+    new_state, _ = step(state, image, target)
+    glw_b = np.array(state.params["last_layer_group"])
+    glw_a = np.array(new_state.params["last_layer_group"])
+    off = spec.group_class_identity == 0
+    np.testing.assert_array_equal(glw_b[off], glw_a[off])
+    assert not np.array_equal(glw_b[~off], glw_a[~off])
+
+
+def test_gradient_accumulation_matches_large_batch(rng):
+    # iter_size=2 on half-batches == single step on the full batch
+    model, spec, variables = _build()
+    image, target = _batch(rng, b=4)
+    w = LossWeights()  # CE+L1 only: both average cleanly over the batch
+
+    state1, step1 = _make_state_and_step(model, spec, variables,
+                                         "multiscale", 2, weights=w,
+                                         iter_size=1)
+    full_state, _ = step1(state1, image, target)
+
+    state2, step2 = _make_state_and_step(model, spec, variables,
+                                         "multiscale", 2, weights=w,
+                                         iter_size=2)
+    state2, _ = step2(state2, image[:2], target[:2])
+    state2, _ = step2(state2, image[2:], target[2:])
+
+    np.testing.assert_allclose(
+        np.array(full_state.params["last_layer"]),
+        np.array(state2.params["last_layer"]), rtol=1e-4, atol=1e-6)
+
+
+def test_eval_step_and_data_parallel_mesh(rng):
+    model, spec, variables = _build()
+    state, step = _make_state_and_step(model, spec, variables,
+                                       "multiscale", 1)
+    eval_step = make_eval_step(model, spec, LossWeights(kld=0.25))
+
+    mesh = create_mesh()  # 8 virtual CPU devices
+    assert mesh.devices.size == 8
+    image, target = _batch(rng, b=8)
+    image, target = shard_batch((image, target), mesh)
+    new_state, metrics = step(state, image, target)
+    assert np.isfinite(float(metrics["loss"]))
+    em = eval_step(new_state, image, target)
+    assert np.isfinite(float(em["loss"]))
+    assert float(em["n_patches"]) == 8 * 9 * 9
