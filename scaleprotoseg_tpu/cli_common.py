@@ -1,0 +1,134 @@
+"""Shared CLI plumbing for the training/eval entry points.
+
+Mirrors the reference's entry-script conventions
+(`train_wandb_multiscale.py`, `finetune_wandb_group.py`): gin config
+resolution (`segmentation/configs/{name}.gin` -> our
+``scaleprotoseg_tpu/configs/{name}.gin`` or an explicit path), seeding,
+run-directory layout (``RESULTS_DIR/<experiment>/{checkpoints,prototypes}``
+with the config copied in), and loader construction.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from scaleprotoseg_tpu import configlib, settings
+from scaleprotoseg_tpu.data.dataset import PatchClassificationDataset
+from scaleprotoseg_tpu.data.loader import DataLoader
+
+CONFIGS_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+
+def resolve_config(config_path: str) -> str:
+    candidates = [
+        config_path,
+        os.path.join(CONFIGS_DIR, config_path + ".gin"),
+        os.path.join(CONFIGS_DIR, config_path),
+    ]
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    raise FileNotFoundError(
+        f"Config {config_path!r} not found (searched {candidates})")
+
+
+def load_config(config_path: str) -> str:
+    path = resolve_config(config_path)
+    configlib.clear_config()
+    configlib.parse_config_file(path)
+    return path
+
+
+def seed_everything(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def setup_run_dir(experiment_name: str, config_file: str) -> str:
+    results_dir = os.path.join(settings.results_dir(), experiment_name)
+    os.makedirs(os.path.join(results_dir, "checkpoints"), exist_ok=True)
+    os.makedirs(os.path.join(results_dir, "prototypes"), exist_ok=True)
+    try:
+        shutil.copy(config_file, os.path.join(results_dir, "config.gin"))
+    except shutil.SameFileError:
+        pass
+    return results_dir
+
+
+def train_hparams() -> dict:
+    q = lambda p, d: configlib.query("train", p, d)  # noqa: E731
+    return dict(
+        random_seed=q("random_seed", 20220227),
+        warmup_steps=q("warmup_steps", 0),
+        joint_steps=q("joint_steps", 0),
+        finetune_steps=q("finetune_steps", 0),
+        warmup_batch_size=q("warmup_batch_size", 2),
+        joint_batch_size=q("joint_batch_size", 2),
+        early_stopping_patience_last_layer=q(
+            "early_stopping_patience_last_layer", 100),
+        start_checkpoint=q("start_checkpoint", ""),
+        load_coco=q("load_coco", False),
+        push_proto=q("push_proto", True),
+        data_type=q("data_type",
+                    configlib.query("PatchClassificationDataModule",
+                                    "data_type", None)),
+    )
+
+
+def make_loaders(batch_size: int, num_workers: Optional[int] = None,
+                 seed: int = 0, data_root: Optional[str] = None):
+    """(train_loader, val_loader) per the gin dataset bindings."""
+    if num_workers is None:
+        num_workers = configlib.query("PatchClassificationDataModule",
+                                      "dataloader_n_jobs", 8)
+    train_key = configlib.query("PatchClassificationDataModule",
+                                "train_key", "train")
+    train_ds = PatchClassificationDataset(split_key=train_key,
+                                          is_eval=False, root=data_root)
+    val_ds = PatchClassificationDataset(split_key="val", is_eval=True,
+                                        root=data_root)
+    return (DataLoader(train_ds, batch_size, shuffle=True,
+                       num_workers=num_workers, seed=seed),
+            DataLoader(val_ds, batch_size, shuffle=False,
+                       num_workers=num_workers, seed=seed))
+
+
+class PushLoader:
+    """Re-iterable full-resolution normalized loader for prototype push
+    (reference: PNGs + `to_normalized_tensor`, push_*_optimization.py)."""
+
+    def __init__(self, dataset: PatchClassificationDataset,
+                 batch_size: int = 1, limit: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.n = len(dataset) if limit is None else min(limit, len(dataset))
+
+    def _item(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        image, label = self.dataset._load_raw(i)
+        label = self.dataset.convert(label)
+        if self.dataset.image_margin_size:
+            m = self.dataset.image_margin_size
+            image = image[m:-m, m:-m]
+        image = image.astype(np.float32) / 255.0
+        image = (image - self.dataset.mean) / self.dataset.std
+        return image, label
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        for start in range(0, self.n, self.batch_size):
+            items = [self._item(i)
+                     for i in range(start, min(start + self.batch_size,
+                                               self.n))]
+            yield (np.stack([it[0] for it in items]),
+                   np.stack([it[1] for it in items]))
+
+
+def make_push_loader(batch_size: int = 1, data_root: Optional[str] = None,
+                     limit: Optional[int] = None) -> PushLoader:
+    ds = PatchClassificationDataset(split_key="train", is_eval=True,
+                                    push_prototypes=True, root=data_root)
+    return PushLoader(ds, batch_size=batch_size, limit=limit)

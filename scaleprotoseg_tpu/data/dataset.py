@@ -1,0 +1,161 @@
+"""Training dataset with reference-parity augmentation.
+
+Host-side numpy pipeline mirroring `segmentation/data/dataset.py:34-198`:
+pre-converted ``.npy`` images/labels from the offline preprocessors, ID
+conversion via dense LUTs, and the exact train-time augmentation order —
+uniform random scale, cv2-bilinear image / PIL-nearest label resize,
+mean/zero padding, random crop to the window, horizontal flip, /255 +
+Normalize (optional color jitter).  Batches come out NHWC float32
+(TPU-native layout; the reference emits CHW).
+
+The heavy lifting (resize) runs in cv2/numpy which release the GIL, so
+the threaded prefetch loader overlaps input with TPU compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+from PIL import Image
+
+from scaleprotoseg_tpu import settings
+from scaleprotoseg_tpu.configlib import REQUIRED, configurable
+from scaleprotoseg_tpu.constants import convert_targets
+
+
+def resize_label(label: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """PIL-NEAREST label resize (ref dataset.py:22-30); size=(W, H)."""
+    out = Image.fromarray(label.astype(float)).resize(
+        size, resample=Image.NEAREST)
+    return np.asarray(out, dtype=np.int64)
+
+
+@configurable(allowlist=["data_type", "mean", "std", "image_margin_size",
+                         "window_size", "scales", "jitter",
+                         "only_19_from_cityscapes"])
+class PatchClassificationDataset:
+    """Map-style dataset yielding (image NHWC float32, label int32)."""
+
+    def __init__(
+        self,
+        split_key: str,
+        is_eval: bool,
+        push_prototypes: bool = False,
+        data_type: str = REQUIRED,
+        mean: List[float] = REQUIRED,
+        std: List[float] = REQUIRED,
+        image_margin_size: int = REQUIRED,
+        window_size: Optional[Tuple[int, int]] = None,
+        only_19_from_cityscapes: bool = False,
+        scales: Tuple[float, ...] = (1.0,),
+        jitter: bool = False,
+        root: Optional[str] = None,
+    ):
+        self.split_key = split_key
+        self.is_eval = is_eval
+        self.push_prototypes = push_prototypes
+        self.data_type = data_type
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.image_margin_size = image_margin_size
+        self.window_size = tuple(window_size) if window_size else None
+        self.scales = tuple(scales)
+        self.jitter = jitter
+        self.only_19 = only_19_from_cityscapes
+
+        root = root or settings.data_path(data_type)
+        self.root = root
+        self.annotations_dir = os.path.join(root, "annotations", split_key)
+        self.img_dir = os.path.join(
+            root, f"img_with_margin_{image_margin_size}", split_key)
+        with open(os.path.join(root, "all_images.json")) as fp:
+            self.img_ids = json.load(fp)[split_key]
+        self.img_id2idx = {img_id: i for i, img_id in
+                           enumerate(self.img_ids)}
+
+    def __len__(self) -> int:
+        return len(self.img_ids)
+
+    def get_img_path(self, img_id: str) -> str:
+        return os.path.join(self.img_dir, img_id + ".png")
+
+    def _load_raw(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        img_id = self.img_ids[index]
+        image = np.load(os.path.join(self.img_dir, img_id + ".npy"))
+        label = np.load(os.path.join(self.annotations_dir, img_id + ".npy"))
+        return image.astype(np.uint8), label
+
+    def convert(self, label: np.ndarray) -> np.ndarray:
+        if label.ndim == 3:
+            label = label[:, :, 0]
+        return convert_targets(label, self.data_type).astype(np.int32)
+
+    def _color_jitter(self, image: np.ndarray) -> np.ndarray:
+        """Torchvision-style ColorJitter(0.2, 0.2, 0.2, 0.2) on [0,1] HWC."""
+        b = random.uniform(0.8, 1.2)
+        c = random.uniform(0.8, 1.2)
+        s = random.uniform(0.8, 1.2)
+        h = random.uniform(-0.2, 0.2)
+        image = np.clip(image * b, 0, 1)
+        gray = image.mean(axis=-1, keepdims=True)
+        image = np.clip((image - gray.mean()) * c + gray.mean(), 0, 1)
+        image = np.clip((image - gray) * s + gray, 0, 1)
+        hsv = cv2.cvtColor(image.astype(np.float32), cv2.COLOR_RGB2HSV)
+        hsv[..., 0] = (hsv[..., 0] + h * 360.0) % 360.0
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        image, label = self._load_raw(index)
+        window = self.window_size or label.shape[:2]
+        label = self.convert(label)
+
+        if self.image_margin_size:
+            m = self.image_margin_size
+            image = image[m:-m, m:-m]
+
+        # random scale (ref :145-153)
+        h, w = label.shape
+        scale = 1.0 if len(self.scales) < 2 else \
+            random.uniform(self.scales[0], self.scales[1])
+        h, w = int(h * scale), int(w * scale)
+        image = cv2.resize(image, (w, h), interpolation=cv2.INTER_LINEAR)
+        label = resize_label(label, (w, h))
+
+        image = image.astype(np.float32) / 255.0
+
+        # pad bottom/right to window (ref :159-171)
+        pad_h = max(window[0] - h, 0)
+        pad_w = max(window[1] - w, 0)
+        if pad_h or pad_w:
+            image = cv2.copyMakeBorder(image, 0, pad_h, 0, pad_w,
+                                       cv2.BORDER_CONSTANT,
+                                       value=tuple(float(v) for v in self.mean))
+            label = cv2.copyMakeBorder(
+                label.astype(np.int32), 0, pad_h, 0, pad_w,
+                cv2.BORDER_CONSTANT, value=0)
+
+        # random crop (ref :174-181)
+        h, w = label.shape[:2]
+        start_h = random.randint(0, h - window[0])
+        start_w = random.randint(0, w - window[1])
+        image = image[start_h:start_h + window[0],
+                      start_w:start_w + window[1]]
+        label = label[start_h:start_h + window[0],
+                      start_w:start_w + window[1]]
+
+        # random horizontal flip (ref :184-186)
+        if random.random() < 0.5:
+            image = np.ascontiguousarray(image[:, ::-1])
+            label = np.ascontiguousarray(label[:, ::-1])
+
+        if not self.push_prototypes:
+            if self.jitter and not self.is_eval:
+                image = self._color_jitter(image)
+            image = (image - self.mean) / self.std
+
+        return image.astype(np.float32), label.astype(np.int32)

@@ -71,13 +71,14 @@ def unet_features(pretrained=False, unet_n_features: int = REQUIRED,
     return module, unet_n_features, tuple(scales)
 
 
-@configurable(allowlist=["unet_n_features", "multiscale", "scales"])
+@configurable(allowlist=["unet_n_features", "multiscale", "scales",
+                         "unet_base"])
 def unet_aspp_features(pretrained=False, unet_n_features: int = REQUIRED,
-                       multiscale=False, scales=(1.0,), dtype=jnp.float32,
-                       **kw):
+                       multiscale=False, scales=(1.0,), unet_base: int = 64,
+                       dtype=jnp.float32, **kw):
     rates = (6, 12, 18, 24)
     module = UNetASPP(out_features=unet_n_features, rates=rates,
-                      multiscale=multiscale, dtype=dtype)
+                      multiscale=multiscale, base=unet_base, dtype=dtype)
     out_ch = unet_n_features * (len(rates) if multiscale else 1)
     return module, out_ch, tuple(scales)
 

@@ -45,6 +45,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device-put a host batch with the leading dim sharded over the mesh."""
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Device-put a host batch with the leading dim sharded over the mesh.
+
+    Falls back to replicated placement when the batch size does not divide
+    the mesh (e.g. the reference's batch-2 configs on an 8-chip mesh run
+    effectively single-chip unless the batch is scaled up)."""
+    n = mesh.devices.size
+    sharded = batch_sharding(mesh, axis_name)
+    replicated = replicate(mesh)
+
+    def put(x):
+        s = sharded if x.shape and x.shape[0] % n == 0 else replicated
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, batch)

@@ -1,0 +1,197 @@
+"""Prototype push (projection) as batched on-device scans.
+
+The reference's optimized push (`push_multiscale_optimization.py:193-338`)
+runs the whole train split at batch 1, masks each prototype's distance
+map to its own-class non-void pixels, takes per-image minima, then
+re-encodes each winning image once *per prototype* (up to P re-encodes,
+SURVEY.md §3.3).  TPU-native redesign:
+
+1. one jitted batched pass over the dataset computes per-image masked
+   minima for all prototypes at once — (B, P) values + flat argmins;
+2. a global argmin over images picks each prototype's winner;
+3. each *unique* winning image is re-encoded exactly once (batched), and
+   all of its prototypes' feature vectors are gathered from that single
+   forward — not one forward per prototype.
+
+After projection, exact-duplicate prototypes are pruned
+(``np.unique``, ref :327-335) and ``unique_prototypes.json`` plus a
+``push_info.npz`` record (winner image / pixel / scale / distance per
+prototype — the bound-box source data) are written.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scaleprotoseg_tpu.ops.resize import resize_label_nearest
+from scaleprotoseg_tpu.spec import ProtoSpec
+
+MAX_DIST = 1e10
+
+
+@dataclasses.dataclass
+class PushResult:
+    params: Dict                     # updated (and possibly pruned) params
+    spec: ProtoSpec                  # spec after dedup pruning
+    kept: np.ndarray                 # indices of kept prototypes
+    winners: np.ndarray              # (P,) winning image index (pre-prune)
+    min_dists: np.ndarray            # (P,) winning distances (pre-prune)
+
+
+def _make_min_step(model, spec: ProtoSpec):
+    class_of_proto = jnp.asarray(np.array(spec.class_ids, np.int32))
+
+    @jax.jit
+    def min_step(variables, images, targets):
+        feats, distances = model.apply(variables, images,
+                                       method="push_forward")
+        h, w = distances.shape[1], distances.shape[2]
+        t = resize_label_nearest(targets, h, w).astype(jnp.int32) - 1
+        # mask: pixel belongs to the prototype's class (void never matches)
+        mask = (t[..., None] == class_of_proto[None, None, None, :])
+        masked = jnp.where(mask, distances, distances + MAX_DIST)
+        flat = masked.reshape(masked.shape[0], -1, masked.shape[-1])
+        flat = jnp.swapaxes(flat, 1, 2)            # (B, P, h*w)
+        return jnp.min(flat, axis=-1), jnp.argmin(flat, axis=-1)
+
+    return min_step
+
+
+def _make_gather_step(model, spec: ProtoSpec):
+    scale_of_proto = jnp.asarray(spec.scale_ids)
+
+    @jax.jit
+    def gather_step(variables, images, flat_idx, proto_ids):
+        """Re-encode a batch of winner images; for each (image, prototype)
+        pair gather the per-scale feature vector at the argmin pixel."""
+        feats = model.apply(variables, images, method="conv_features")
+        b, h, w, c = feats.shape
+        d = spec.proto_depth
+        feats = feats.reshape(b, h * w, spec.num_scales, d)
+        scale = scale_of_proto[proto_ids]                    # (B,)
+        batch_ids = jnp.arange(b)
+        return feats[batch_ids, flat_idx, scale]             # (B, D)
+
+    return gather_step
+
+
+def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
+                    prototypes_dir: Optional[str] = None,
+                    dedup: bool = True, log=print) -> PushResult:
+    """Project every prototype onto its nearest same-class training patch.
+
+    Args:
+      push_loader: iterable of (images NHWC normalized, raw labels) batches
+        covering the train split in a fixed order.
+      dedup: prune exact-duplicate prototypes afterwards (ref :327-335).
+    """
+    P = spec.num_prototypes
+    min_step = _make_min_step(model, spec)
+    gather_step = _make_gather_step(model, spec)
+
+    best_dist = np.full((P,), np.inf, np.float64)
+    best_img = np.full((P,), -1, np.int64)
+    best_flat = np.zeros((P,), np.int64)
+    img_offset = 0
+
+    n_batches = 0
+    for images, targets in push_loader:
+        vals, idxs = jax.device_get(
+            min_step(variables, jnp.asarray(images), jnp.asarray(targets)))
+        for b in range(vals.shape[0]):
+            improved = vals[b] < best_dist
+            best_dist = np.where(improved, vals[b], best_dist)
+            best_img = np.where(improved, img_offset + b, best_img)
+            best_flat = np.where(improved, idxs[b], best_flat)
+        img_offset += images.shape[0]
+        n_batches += 1
+    log(f"push: scanned {img_offset} images in {n_batches} batches")
+
+    # Second pass: keep only the (<= P) unique winner images in memory.
+    winner_set = set(int(i) for i in np.unique(best_img[best_img >= 0]))
+    image_cache: Dict[int, np.ndarray] = {}
+    offset = 0
+    for images, _ in push_loader:
+        for b in range(images.shape[0]):
+            if offset + b in winner_set:
+                image_cache[offset + b] = np.asarray(images[b])
+        offset += images.shape[0]
+        if len(image_cache) == len(winner_set):
+            break
+
+    matched = best_img >= 0
+    if not matched.all():
+        log(f"push: WARNING {int((~matched).sum())} prototypes never "
+            "matched a class pixel; left unchanged")
+
+    # Re-encode each unique winner once; gather all its prototypes' vectors.
+    new_vectors = np.array(jax.device_get(
+        variables["params"]["prototype_vectors"]), np.float32)
+    winners = np.unique(best_img[matched])
+    protos_by_winner: Dict[int, List[int]] = {}
+    for p in np.nonzero(matched)[0]:
+        protos_by_winner.setdefault(int(best_img[p]), []).append(int(p))
+
+    pairs = [(w_, p) for w_ in winners for p in protos_by_winner[int(w_)]]
+    # batch pairs; images may repeat in a batch — still one forward per row,
+    # but rows/batch amortize the compile and fill the MXU.
+    batch = max(1, min(8, len(pairs)))
+    for i in range(0, len(pairs), batch):
+        chunk = pairs[i:i + batch]
+        while len(chunk) < batch:
+            chunk.append(chunk[-1])
+        imgs = np.stack([image_cache[int(w_)] for w_, _ in chunk])
+        flat = np.array([best_flat[p] for _, p in chunk], np.int64)
+        pids = np.array([p for _, p in chunk], np.int32)
+        vecs = np.asarray(jax.device_get(gather_step(
+            variables, jnp.asarray(imgs), jnp.asarray(flat),
+            jnp.asarray(pids))))
+        for row, (_, p) in enumerate(pairs[i:i + batch]):
+            new_vectors[p] = vecs[row]
+
+    params = dict(variables["params"])
+    params["prototype_vectors"] = jnp.asarray(new_vectors)
+
+    kept = np.arange(P)
+    new_spec = spec
+    if dedup:
+        _, unique_index = np.unique(new_vectors, axis=0, return_index=True)
+        duplicates = sorted(set(range(P)) - set(int(i)
+                                                for i in unique_index))
+        if duplicates:
+            log(f"push: removing {len(duplicates)} duplicate prototypes")
+        new_spec = spec.prune(duplicates)
+        kept = spec.keep_indices(duplicates)
+        params = prune_model_params(params, kept)
+
+    if prototypes_dir:
+        os.makedirs(prototypes_dir, exist_ok=True)
+        with open(os.path.join(prototypes_dir,
+                               "unique_prototypes.json"), "w") as f:
+            json.dump([int(i) for i in sorted(kept)], f)
+        np.savez(os.path.join(prototypes_dir, "push_info.npz"),
+                 best_img=best_img, best_flat=best_flat,
+                 best_dist=best_dist, kept=kept,
+                 scale_ids=spec.scale_ids)
+
+    return PushResult(params=params, spec=new_spec, kept=kept,
+                      winners=best_img, min_dists=best_dist)
+
+
+def prune_model_params(params: Dict, keep: np.ndarray) -> Dict:
+    """Model surgery for prototype removal (ref model_multiscale.py:400-432):
+    slice the bank and the last layer's input rows."""
+    out = dict(params)
+    out["prototype_vectors"] = jnp.asarray(
+        np.asarray(params["prototype_vectors"])[keep])
+    if "last_layer" in out:
+        out["last_layer"] = jnp.asarray(
+            np.asarray(params["last_layer"])[keep, :])
+    return out

@@ -1,0 +1,224 @@
+"""Phase orchestration: the Lightning-Trainer equivalent.
+
+Drives one training phase (warm-up / joint / last-layer, proto or group
+variant) over the threaded data loader with a jitted train step, periodic
+validation, best-checkpoint tracking by val patch accuracy, optional
+early stopping, and reference metric names
+(`module_multiscale.py:326-391`, `train_wandb_multiscale.py:190-316`).
+
+TPU specifics: batches are sharded over the data mesh axis before each
+step (single-device mesh degenerates to plain placement), steps count
+micro-batches exactly like the reference's Lightning ``global_step``
+(``iter_size`` accumulation happens inside optax MultiSteps), and
+``avg_dist_proto`` is computed on-device at validation end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scaleprotoseg_tpu import configlib
+from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
+from scaleprotoseg_tpu.ops.prototype import pairwise_l2
+from scaleprotoseg_tpu.parallel import create_mesh, shard_batch
+from scaleprotoseg_tpu.train.metrics import (MetricAccumulator,
+                                             MetricsLogger)
+from scaleprotoseg_tpu.train.optim import (label_params,
+                                           make_phase_optimizer,
+                                           partition_params, phase_groups,
+                                           poly_schedule)
+from scaleprotoseg_tpu.train.state import TrainState
+from scaleprotoseg_tpu.train.steps import (LossWeights, make_eval_step,
+                                           make_train_step)
+
+
+def module_hparams(variant: str) -> Dict:
+    """Collect PatchClassificationModule[MultiScale] gin bindings."""
+    name = "PatchClassificationModule" if variant == "single" else \
+        "PatchClassificationModuleMultiScale"
+    q = lambda p, d: configlib.query(name, p, d)  # noqa: E731
+    return dict(
+        weights=LossWeights(
+            crs_ent=q("loss_weight_crs_ent", 1.0),
+            l1=q("loss_weight_l1", 1e-4),
+            kld=q("loss_weight_kld", 0.0),
+            entropy=q("loss_weight_entropy", 0.0),
+            spatial_entropy=q("loss_weight_spatial_entropy", 0.0),
+            norm=q("loss_weight_norm", 0.0),
+            crs_ent_group=q("loss_weight_crs_ent_group", 0.0),
+            scale_max=q("loss_weight_scale_max", 0.0),
+            group_ent=q("loss_weight_group_ent", 0.0)),
+        hp=dict(
+            warm_lr_add_on=q("warm_optimizer_lr_add_on_layers", 2.5e-4),
+            warm_lr_protos=q("warm_optimizer_lr_prototype_vectors", 2.5e-4),
+            warm_wd=q("warm_optimizer_weight_decay", 0.0),
+            joint_lr_features=q("joint_optimizer_lr_features", 2.5e-5),
+            joint_lr_add_on=q("joint_optimizer_lr_add_on_layers", 2.5e-4),
+            joint_lr_protos=q("joint_optimizer_lr_prototype_vectors",
+                              2.5e-4),
+            joint_wd=q("joint_optimizer_weight_decay", 0.0),
+            last_layer_lr=q("last_layer_optimizer_lr", 2.5e-4),
+            warm_lr_group=q("warm_optimizer_lr_group_projection", 2.5e-4),
+            joint_lr_group=q("joint_optimizer_lr_group_projection",
+                             2.5e-4)),
+        poly_lr_power=q("poly_lr_power", 0.9),
+        iter_size=q("iter_size", 1),
+        ignore_void_class=q("ignore_void_class", True),
+        freeze_type=q("freeze_type", "all"),
+        joint_no_proto=q("joint_no_proto", False),
+        joint_last=q("joint_last", True),
+    )
+
+
+@dataclasses.dataclass
+class PhaseResult:
+    state: TrainState
+    best_acc: float
+    steps_done: int
+
+
+class PhaseTrainer:
+    def __init__(self, model, spec, variant: str, model_dir: str,
+                 hparams: Dict, logger=None, mesh=None, log=print):
+        self.model = model
+        self.spec = spec
+        self.variant = variant
+        self.model_dir = model_dir
+        self.checkpoints_dir = os.path.join(model_dir, "checkpoints")
+        os.makedirs(self.checkpoints_dir, exist_ok=True)
+        self.hp = hparams
+        self.logger = logger or MetricsLogger(model_dir)
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.log = log
+        self.best_acc = 0.0
+
+    # ------------------------------------------------------------------
+    def stage_key(self, phase: int) -> str:
+        base = {0: "warmup", 1: "nopush", 2: "push"}[min(phase, 2)]
+        return base + ("-group" if self.variant == "group" else "")
+
+    def _avg_dist_proto(self, params) -> float:
+        """Per-scale mean pairwise prototype distance
+        (ref module_multiscale.py:380-388; squared-L2 per helpers.py)."""
+        p = params["prototype_vectors"]
+        total = 0.0
+        for lo, hi in self.spec.scale_bounds:
+            ps = p[lo:hi]
+            total += float(jnp.mean(pairwise_l2(ps, ps))) / \
+                self.spec.num_scales
+        return total
+
+    # ------------------------------------------------------------------
+    def run_phase(self, variables: Dict, phase: int, max_steps: int,
+                  train_loader, val_loader,
+                  early_stopping_patience: Optional[int] = None,
+                  val_every_steps: Optional[int] = None,
+                  limit_val_batches: Optional[int] = None,
+                  global_step0: int = 0) -> PhaseResult:
+        hp = self.hp
+        variant = self.variant
+        iter_size = int(hp["iter_size"])
+        groups = phase_groups(variant, phase, hp["hp"],
+                              joint_last=hp["joint_last"],
+                              joint_no_proto=hp["joint_no_proto"],
+                              has_scale_head=self.model.scale_head_type
+                              is not None)
+        trainable, _ = partition_params(variables["params"], set(groups))
+        schedule = poly_schedule(hp["poly_lr_power"],
+                                 max(max_steps // iter_size, 1)) \
+            if phase == 1 else None
+        tx = make_phase_optimizer(groups, label_params(trainable),
+                                  schedule=schedule, iter_size=iter_size)
+        state = TrainState.create(variables["params"],
+                                  variables.get("batch_stats"),
+                                  tx.init(trainable))
+
+        train_bn = (hp["freeze_type"] == "none")
+        grad_mask = (variant == "group" and phase == 1 and
+                     self.model.incorrect_strength == 0)
+        step_fn = make_train_step(
+            self.model, self.spec, tx, set(groups), hp["weights"],
+            ignore_void=hp["ignore_void_class"], train_bn=train_bn,
+            grad_mask_last_group=grad_mask,
+            project_group_simplex=(variant == "group"))
+        eval_fn = make_eval_step(self.model, self.spec, hp["weights"],
+                                 ignore_void=hp["ignore_void_class"])
+
+        stage = self.stage_key(phase)
+        self.log(f"PHASE {phase} ({stage}) START: {max_steps} steps, "
+                 f"trainable={sorted(groups)}")
+
+        steps = 0
+        acc_train = MetricAccumulator()
+        val_every = val_every_steps or max(len(train_loader), 1)
+        validations_without_improvement = 0
+        stop = False
+
+        while steps < max_steps and not stop:
+            for image, target in train_loader:
+                if steps >= max_steps:
+                    break
+                batch = shard_batch((jnp.asarray(image),
+                                     jnp.asarray(target)), self.mesh)
+                state, metrics = step_fn(state, *batch)
+                acc_train.update(jax.device_get(metrics))
+                steps += 1
+
+                if steps % val_every == 0 or steps >= max_steps:
+                    val_summary = self._validate(state, eval_fn, val_loader,
+                                                 limit_val_batches)
+                    train_summary = acc_train.summary()
+                    acc_train = MetricAccumulator()
+                    record = {
+                        **{f"train_{k}": v for k, v in
+                           train_summary.items()},
+                        **{f"val_{k}": v for k, v in val_summary.items()},
+                        "training_stage": float(phase),
+                        "avg_dist_proto":
+                            self._avg_dist_proto(state.params),
+                    }
+                    self.logger.log(record, step=global_step0 + steps)
+                    val_acc = val_summary.get("accuracy", 0.0)
+                    self.log(f"step {steps}/{max_steps} "
+                             f"train_loss={train_summary.get('loss', 0):.4f}"
+                             f" val_acc={val_acc:.4f}")
+
+                    self._save(state, f"{stage}_last")
+                    if val_acc > self.best_acc:
+                        self.best_acc = val_acc
+                        self._save(state, f"{stage}_best")
+                        validations_without_improvement = 0
+                    else:
+                        validations_without_improvement += 1
+                    if (early_stopping_patience is not None and
+                            validations_without_improvement >=
+                            early_stopping_patience):
+                        self.log("Early stopping triggered")
+                        stop = True
+                        break
+        return PhaseResult(state=state, best_acc=self.best_acc,
+                           steps_done=steps)
+
+    # ------------------------------------------------------------------
+    def _validate(self, state, eval_fn, val_loader,
+                  limit_val_batches=None) -> Dict[str, float]:
+        acc = MetricAccumulator()
+        for i, (image, target) in enumerate(val_loader):
+            if limit_val_batches is not None and i >= limit_val_batches:
+                break
+            batch = shard_batch((jnp.asarray(image), jnp.asarray(target)),
+                                self.mesh)
+            acc.update(jax.device_get(eval_fn(state, *batch)))
+        return acc.summary()
+
+    def _save(self, state: TrainState, name: str):
+        save_checkpoint(
+            os.path.join(self.checkpoints_dir, f"{name}.ckpt"),
+            state.params, state.batch_stats, spec=self.spec,
+            extra={"best_acc": self.best_acc, "variant": self.variant})
