@@ -1,0 +1,73 @@
+"""Headline benchmark: Cityscapes-resolution inference throughput.
+
+Measures images/sec/chip for the flagship grouped ScaleProtoSeg model
+(DeepLabv2-ResNet101 concat-ASPP + 4-scale prototype head + group
+projection, bf16 compute) on full 1024x2048 inputs — the BASELINE.json
+north-star metric.  The reference publishes no throughput numbers
+(SURVEY.md §6); ``vs_baseline`` is measured throughput divided by an
+estimated single-A100 fp32 reference throughput of 7 img/s (~0.9 TFLOP
+per 1024x2048 OS-8 forward at ~35% A100 fp32 utilization) — the 3x
+target corresponds to vs_baseline >= 3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_IMG_PER_S = 7.0
+
+
+def _measure(forward, variables, x, iters: int) -> float:
+    """Pipelined steady-state timing.  NOTE: on the hosted 'axon' TPU
+    platform block_until_ready returns before execution completes, so a
+    device->host fetch of the (tiny) argmax output is the sync point."""
+    import jax
+
+    jax.device_get(forward(variables, x))  # compile + warmup
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = forward(variables, x)
+    jax.device_get(out)
+    return x.shape[0] * iters / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+
+    model, _ = _flagship(tiny=False, grouped=True)
+    # Throughput is weight-independent: materialize zero params from the
+    # init shape tree (avoids a ~2 min on-device init compile).
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 129, 129, 3), jnp.bfloat16)),
+        jax.random.PRNGKey(0))
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    @jax.jit
+    def forward(variables, x):
+        out = model.apply(variables, x, train=False)
+        return jnp.argmax(out.logits, axis=-1)
+
+    data = np.random.default_rng(0).random((4, 1024, 2048, 3))
+    best = 0.0
+    for batch in (2, 4):
+        x = jnp.asarray(data[:batch], jnp.bfloat16)
+        best = max(best, _measure(forward, variables, x, iters=16))
+
+    print(json.dumps({
+        "metric": "cityscapes_1024x2048_inference_throughput",
+        "value": round(best, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / A100_BASELINE_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
