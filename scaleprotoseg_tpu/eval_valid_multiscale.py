@@ -1,0 +1,193 @@
+"""Validation-set evaluation (multi-scale / grouped models).
+
+CLI parity with `python -m segmentation.eval_valid_multiscale
+<model_name> <training_phase> [batch_size] [data_type]`
+(ref eval_valid_multiscale.py:33-414): loads the run's checkpoint,
+runs full-image (cityscapes/coco/em) or resized (pascal 513, ade
+short-side 512) inference over the raw val ``.npy`` files, bilinearly
+upsamples logits to label resolution, and accumulates mIoU / pixel
+accuracy ignoring void.  Writes ``evaluation/<phase>/iou_scores.json``,
+``mean_iou.txt``, a per-class IoU bar chart, and same-class prototype
+distance histograms.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from scaleprotoseg_tpu import settings
+from scaleprotoseg_tpu.constants import (
+    ADE20k_ID_2_LABEL, CITYSCAPES_19_EVAL_CATEGORIES, CITYSCAPES_CATEGORIES,
+    COCO_ID_2_LABEL, EM_ID_2_LABEL, IMAGENET_MEAN, IMAGENET_STD,
+    PASCAL_CATEGORIES, PASCAL_ID_MAPPING, convert_targets)
+from scaleprotoseg_tpu.eval.miou import SegEvaluator
+from scaleprotoseg_tpu.model_loading import load_model, resolve_checkpoint
+from scaleprotoseg_tpu.train.metrics import create_logger
+
+
+def class_names(data_type: str, num_classes: int) -> List[str]:
+    if data_type == "cityscapes":
+        inv = {v - 1: k for k, v in CITYSCAPES_19_EVAL_CATEGORIES.items()
+               if v > 0}
+        return [CITYSCAPES_CATEGORIES[inv[i]] for i in range(num_classes)]
+    if data_type == "pascal":
+        inv = {v - 1: k for k, v in PASCAL_ID_MAPPING.items() if v > 0}
+        return [PASCAL_CATEGORIES[inv[i] + 1] if inv[i] + 1 <
+                len(PASCAL_CATEGORIES) else str(i)
+                for i in range(num_classes)]
+    if data_type == "ade":
+        return [ADE20k_ID_2_LABEL[i] for i in range(num_classes)]
+    if data_type == "em":
+        return [EM_ID_2_LABEL[i] for i in range(num_classes)]
+    if data_type == "coco":
+        return [COCO_ID_2_LABEL[i] for i in range(num_classes)]
+    return [str(i) for i in range(num_classes)]
+
+
+def _prepare_image(img: np.ndarray, ann_shape, data_type: str) -> np.ndarray:
+    """Normalize + dataset-specific eval resizing
+    (ref eval_valid_multiscale.py:185-214)."""
+    import cv2
+
+    x = img.astype(np.float32) / 255.0
+    x = (x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    if data_type == "pascal":
+        x = cv2.resize(x, (513, 513), interpolation=cv2.INTER_LINEAR)
+    elif data_type == "ade":
+        h, w = x.shape[:2]
+        s = 512 / min(h, w)
+        x = cv2.resize(x, (int(round(w * s)), int(round(h * s))),
+                       interpolation=cv2.INTER_LINEAR)
+    return x
+
+
+def run_evaluation(model_name: str, training_phase: str,
+                   batch_size: int = 2, data_type: str = "cityscapes",
+                   margin: int = 0, limit: Optional[int] = None,
+                   data_root: Optional[str] = None,
+                   results_root: Optional[str] = None) -> dict:
+    model_path = os.path.join(results_root or settings.results_dir(),
+                              model_name)
+    checkpoint = resolve_checkpoint(model_path, training_phase)
+    out_dir = os.path.join(model_path, "evaluation", training_phase)
+    os.makedirs(out_dir, exist_ok=True)
+    log = create_logger(os.path.join(out_dir, "eval.log"))
+    log(f"Loading model from {checkpoint}")
+
+    import jax.numpy as jnp
+
+    model, spec, variables = load_model(model_path, checkpoint,
+                                        dtype=jnp.bfloat16)
+    dataset_path = data_root or settings.data_path(data_type)
+    img_dir = os.path.join(dataset_path, f"img_with_margin_{margin}", "val")
+    ann_dir = os.path.join(dataset_path, "annotations", "val")
+    files = sorted(p[:-4] for p in os.listdir(img_dir)
+                   if p.endswith(".npy"))
+    if limit:
+        files = files[:limit]
+    log(f"Evaluating {len(files)} val images ({data_type})")
+
+    evaluator = SegEvaluator(model, spec.num_classes)
+    # batch images of identical shape together (variable-size datasets
+    # like ADE fall back to singleton shape buckets)
+    pending_imgs, pending_anns, pending_shape = [], [], None
+
+    def flush():
+        nonlocal pending_imgs, pending_anns
+        if not pending_imgs:
+            return
+        images = np.stack(pending_imgs)
+        anns = np.stack(pending_anns)
+        evaluator.update(variables, images.astype(np.float32), anns)
+        pending_imgs, pending_anns = [], []
+
+    for name in files:
+        img = np.load(os.path.join(img_dir, name + ".npy"))
+        if margin:
+            img = img[margin:-margin, margin:-margin]
+        ann = np.load(os.path.join(ann_dir, name + ".npy"))
+        if ann.ndim == 3:
+            ann = ann[..., 0]
+        ann = convert_targets(ann, data_type).astype(np.int32)
+        x = _prepare_image(img, ann.shape, data_type)
+        if pending_shape not in (None, (x.shape, ann.shape)) or \
+                len(pending_imgs) >= batch_size:
+            flush()
+        pending_shape = (x.shape, ann.shape)
+        pending_imgs.append(x)
+        pending_anns.append(ann)
+    flush()
+
+    result = evaluator.result()
+    names = class_names(data_type, spec.num_classes)
+    iou_scores = {names[i]: result["per_class_iou"][i]
+                  for i in range(spec.num_classes)}
+    with open(os.path.join(out_dir, "iou_scores.json"), "w") as f:
+        json.dump(iou_scores, f, indent=2)
+    with open(os.path.join(out_dir, "mean_iou.txt"), "w") as f:
+        f.write(f"{result['mean_iou']}\n")
+    _save_plots(out_dir, iou_scores, variables, spec)
+    log(f"mean IoU: {result['mean_iou']:.4f}  "
+        f"pixel acc: {result['pixel_accuracy']:.4f}")
+    return result
+
+
+def _save_plots(out_dir: str, iou_scores: dict, variables, spec):
+    """Per-class IoU bar chart + same-class prototype distance histograms
+    (ref eval_valid_multiscale.py:105-162, 283-297)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return
+    fig, ax = plt.subplots(figsize=(max(6, len(iou_scores) * 0.4), 4))
+    ax.bar(list(iou_scores), list(iou_scores.values()))
+    ax.set_ylabel("IoU")
+    plt.xticks(rotation=90)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "iou_per_class.png"), dpi=120)
+    plt.close(fig)
+
+    pv = np.asarray(variables["params"]["prototype_vectors"])
+    dists = []
+    identity = spec.class_identity
+    for c in range(spec.num_classes):
+        idx = np.nonzero(identity[:, c])[0]
+        if len(idx) < 2:
+            continue
+        p = pv[idx]
+        d = ((p[:, None] - p[None]) ** 2).sum(-1)
+        dists.extend(d[np.triu_indices(len(idx), 1)].tolist())
+    if dists:
+        fig, ax = plt.subplots()
+        ax.hist(dists, bins=50)
+        ax.set_xlabel("same-class prototype squared L2 distance")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "proto_distance_hist.png"),
+                    dpi=120)
+        plt.close(fig)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_name")
+    p.add_argument("training_phase")
+    p.add_argument("batch_size", nargs="?", type=int, default=2)
+    p.add_argument("data_type", nargs="?", default="cityscapes")
+    p.add_argument("--margin", type=int, default=0)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--data-root", default=None)
+    a = p.parse_args()
+    run_evaluation(a.model_name, a.training_phase, a.batch_size,
+                   a.data_type, margin=a.margin, limit=a.limit,
+                   data_root=a.data_root)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Reconstruct a PPNet model from a run directory + checkpoint.
+
+The reference's eval/analysis scripts ``torch.load`` whole pickled
+modules; here checkpoints are param trees + spec metadata, and the model
+object is rebuilt from the run's saved ``config.gin`` (copied at train
+time, as the reference does — `train_wandb_multiscale.py:187`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scaleprotoseg_tpu import configlib
+from scaleprotoseg_tpu.checkpoints.io import load_checkpoint, spec_from_meta
+from scaleprotoseg_tpu.models.factory import construct_ppnet
+from scaleprotoseg_tpu.models.ppnet import PPNet
+from scaleprotoseg_tpu.spec import ProtoSpec
+
+
+def resolve_checkpoint(model_path: str, training_phase: str) -> str:
+    """Reference checkpoint naming (`eval_valid_multiscale.py:56-62`)."""
+    if training_phase == "pruned":
+        return os.path.join(model_path, "pruned", "checkpoints",
+                            "push_last.ckpt")
+    if training_phase in ("final-group", "push_final"):
+        return os.path.join(model_path, "checkpoints",
+                            f"{training_phase}.ckpt")
+    return os.path.join(model_path, "checkpoints",
+                        f"{training_phase}_last.ckpt")
+
+
+def load_model(model_path: str, checkpoint_path: str,
+               dtype=jnp.float32) -> Tuple[PPNet, ProtoSpec, Dict]:
+    """(model, spec, variables) from a run dir's config + checkpoint."""
+    params, batch_stats, meta = load_checkpoint(checkpoint_path)
+    spec = spec_from_meta(meta["spec"])
+    variant = (meta.get("extra") or {}).get("variant")
+    if variant is None:
+        variant = "group" if "last_layer_group" in params else (
+            "multiscale" if spec.num_scales > 1 else "single")
+
+    config_file = os.path.join(model_path, "config.gin")
+    if os.path.exists(config_file):
+        configlib.clear_config()
+        configlib.parse_config_file(config_file)
+    cname = "construct_PPNet_Group" if variant == "group" else \
+        "construct_PPNet"
+    q = lambda p, d=None: (configlib.query(cname, p, None) or  # noqa: E731
+                           configlib.query("construct_PPNet", p, None) or
+                           configlib.query("construct_PPNet_Group", p, d))
+
+    model, built_spec = construct_ppnet(
+        variant=variant,
+        base_architecture=q("base_architecture"),
+        pretrained=False,
+        prototype_shape=(spec.num_prototypes, spec.proto_depth, 1, 1),
+        num_classes=spec.num_classes,
+        prototype_activation_function=q("prototype_activation_function",
+                                        "log"),
+        add_on_layers_type=q("add_on_layers_type", "deeplab_simple"),
+        scale_head_type=q("scale_head_type", None),
+        dtype=dtype)
+    if built_spec != spec:
+        model = dataclasses.replace(model, spec=spec)
+
+    variables = {"params": jax.tree.map(jnp.asarray, params)}
+    if batch_stats:
+        variables["batch_stats"] = jax.tree.map(jnp.asarray, batch_stats)
+    return model, spec, variables

@@ -1,0 +1,74 @@
+"""Eval CLI smoke tests over a trained synthetic run."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from e2e_utils import TINY_EM_CONFIG, build_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    root = build_synthetic_dataset(
+        str(tmp_path_factory.mktemp("synth_eval")))
+    results = tmp_path_factory.mktemp("results_eval")
+    os.environ["RESULTS_DIR"] = str(results)
+    from scaleprotoseg_tpu.train_wandb_multiscale import train
+    cfg = results / "tiny.gin"
+    cfg.write_text(TINY_EM_CONFIG.replace("train.joint_steps = 6",
+                                          "train.joint_steps = 3")
+                   .replace("train.finetune_steps = 4",
+                            "train.finetune_steps = 0"))
+    train(str(cfg), "eval_run", data_root=root, num_workers=2)
+    return str(results), root
+
+
+def test_eval_valid_multiscale(trained_run):
+    results, root = trained_run
+    from scaleprotoseg_tpu.eval_valid_multiscale import run_evaluation
+    res = run_evaluation("eval_run", "push_final", batch_size=2,
+                         data_type="em", data_root=root,
+                         results_root=results)
+    assert 0.0 <= res["mean_iou"] <= 1.0
+    assert 0.0 <= res["pixel_accuracy"] <= 1.0
+    out_dir = os.path.join(results, "eval_run", "evaluation", "push_final")
+    with open(os.path.join(out_dir, "iou_scores.json")) as f:
+        scores = json.load(f)
+    assert set(scores) == {"background", "cell"}
+    assert os.path.exists(os.path.join(out_dir, "mean_iou.txt"))
+    assert os.path.exists(os.path.join(out_dir, "iou_per_class.png"))
+
+
+def test_eval_test_png_export(trained_run, tmp_path):
+    results, root = trained_run
+    # fabricate a test split from val images
+    import shutil
+    for sub in ("annotations", "img_with_margin_0"):
+        src = os.path.join(root, sub, "val")
+        dst = os.path.join(root, sub, "test")
+        if not os.path.exists(dst):
+            shutil.copytree(src, dst)
+    from scaleprotoseg_tpu.eval_test import run_evaluation
+    out_dir = run_evaluation("eval_run", "push_final", batch_size=2,
+                             data_root=root, results_root=results)
+    pngs = [p for p in os.listdir(out_dir) if p.endswith(".png")]
+    assert len(pngs) == 4
+    from PIL import Image
+    arr = np.asarray(Image.open(os.path.join(out_dir, pngs[0])))
+    assert arr.ndim == 2  # grayscale id map
+
+
+def test_cityscapes_train_id_to_source_lut():
+    from scaleprotoseg_tpu.eval_test import train_id_to_source_lut
+    lut = train_id_to_source_lut(pascal=False)
+    # void -> 6 (the last official void id; reference's rev_origin['void'])
+    assert lut[0] == 6
+    assert lut[1] == 7       # road
+    assert lut[2] == 8       # sidewalk
+    assert lut[19] == 33     # bicycle
+    lut_p = train_id_to_source_lut(pascal=True)
+    assert lut_p[0] == 255   # void -> 255
+    assert lut_p[1] == 0     # background
+    assert lut_p[21] == 20
