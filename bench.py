@@ -52,8 +52,8 @@ def main():
 
     @jax.jit
     def forward(variables, x):
-        out = model.apply(variables, x, train=False)
-        return jnp.argmax(out.logits, axis=-1)
+        logits = model.apply(variables, x, method="fast_logits")
+        return jnp.argmax(logits, axis=-1)
 
     data = np.random.default_rng(0).random((4, 1024, 2048, 3))
     best = 0.0

@@ -309,6 +309,23 @@ class PPNet(nn.Module):
             return [self.forward_from_conv_features(f) for f in feats]
         return self.forward_from_conv_features(feats)
 
+    def fast_logits(self, x):
+        """Inference fast path: backbone + add-on, then the fused Pallas
+        prototype head (distances + log activation + [group projection +
+        exp +] last layer in one kernel, no HBM intermediates).  Falls
+        back to the XLA reference head for non-log activations."""
+        feats = self.conv_features(x, train=False)
+        if self.activation_fn != "log" or self.scale_head is not None:
+            return self.forward_from_conv_features(feats).logits
+        from scaleprotoseg_tpu.ops.pallas_proto import fused_proto_logits
+        if self.grouped:
+            return fused_proto_logits(
+                feats, self.prototype_vectors, None, self.spec,
+                group_projection=self.group_projection,
+                last_layer_group=self.last_layer_group)
+        return fused_proto_logits(feats, self.prototype_vectors,
+                                  self.last_layer, self.spec)
+
     def push_forward(self, x):
         """(conv_features, distances) pairs for prototype projection
         (ref model_multiscale.py:390-398)."""
