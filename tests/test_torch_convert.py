@@ -1,0 +1,196 @@
+"""Weight-conversion parity tests.
+
+Builds a small torch model with the reference deeplab naming/architecture
+(dilated bottleneck ResNet + ASPP, COCO-style stride-on-reduce), converts
+its state dict through ``checkpoints.torch_convert``, and checks our JAX
+backbone reproduces the torch outputs numerically — the definitive test
+that the reverse-engineered architecture (SURVEY.md §2.3) and the layout
+transposes are right.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+from scaleprotoseg_tpu.checkpoints.torch_convert import (  # noqa: E402
+    deeplab_statedict_to_backbone, ppnet_statedict_to_params,
+    torchvision_key_to_deeplab, torchvision_resnet_to_backbone)
+from scaleprotoseg_tpu.models.deeplab import DeepLabV2  # noqa: E402
+from scaleprotoseg_tpu.spec import ProtoSpec  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# A minimal torch mirror of the deeplab backbone (test-only)
+# ---------------------------------------------------------------------------
+class TConvBN(nn.Module):
+    def __init__(self, cin, cout, k, s=1, d=1, relu=True):
+        super().__init__()
+        p = (k - 1) * d // 2
+        self.conv = nn.Conv2d(cin, cout, k, s, p, dilation=d, bias=False)
+        self.bn = nn.BatchNorm2d(cout, eps=1e-5)
+        self.do_relu = relu
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return torch.relu(x) if self.do_relu else x
+
+
+class TBottleneck(nn.Module):
+    def __init__(self, cin, mid, cout, s, d, shortcut):
+        super().__init__()
+        self.reduce = TConvBN(cin, mid, 1, s)
+        self.conv3x3 = TConvBN(mid, mid, 3, 1, d)
+        self.increase = TConvBN(mid, cout, 1, 1, relu=False)
+        self.has_shortcut = shortcut
+        if shortcut:
+            self.shortcut = TConvBN(cin, cout, 1, s, relu=False)
+
+    def forward(self, x):
+        h = self.increase(self.conv3x3(self.reduce(x)))
+        s = self.shortcut(x) if self.has_shortcut else x
+        return torch.relu(h + s)
+
+
+class TStem(nn.Module):
+    def __init__(self, out=64):
+        super().__init__()
+        self.conv1 = TConvBN(3, out, 7, 2)
+        self.pool = nn.MaxPool2d(3, 2, 1, ceil_mode=True)
+
+    def forward(self, x):
+        return self.pool(self.conv1(x))
+
+
+def build_torch_deeplab(n_blocks=(1, 1, 1, 1), n_out=8, rates=(6, 12, 18, 24),
+                        concat=True):
+    class TDeepLab(nn.Module):
+        def __init__(self):
+            super().__init__()
+            ch = [64 * 2 ** p for p in range(6)]
+            self.layer1 = TStem(ch[0])
+
+            def res_layer(n, cin, mid, cout, s, d):
+                blocks = {}
+                for i in range(n):
+                    blocks[f"block{i + 1}"] = TBottleneck(
+                        cin if i == 0 else cout, mid, cout,
+                        s if i == 0 else 1, d, i == 0)
+                return nn.ModuleDict(blocks)
+
+            self.layer2 = res_layer(n_blocks[0], ch[0], ch[0], ch[2], 1, 1)
+            self.layer3 = res_layer(n_blocks[1], ch[2], ch[1], ch[3], 2, 1)
+            self.layer4 = res_layer(n_blocks[2], ch[3], ch[2], ch[4], 1, 2)
+            self.layer5 = res_layer(n_blocks[3], ch[4], ch[3], ch[5], 1, 4)
+            self.aspp = nn.ModuleDict({
+                f"c{i}": nn.Conv2d(ch[5], n_out, 3, padding=r, dilation=r,
+                                   bias=True)
+                for i, r in enumerate(rates)})
+
+        def forward(self, x):
+            x = self.layer1(x)
+            for layer in (self.layer2, self.layer3, self.layer4,
+                          self.layer5):
+                for block in layer.values():
+                    x = block(x)
+            outs = [self.aspp[f"c{i}"](x) for i in range(len(rates))]
+            return torch.cat(outs, 1) if concat else sum(outs)
+
+    return TDeepLab()
+
+
+def test_backbone_conversion_numerical_parity():
+    torch.manual_seed(0)
+    tmodel = build_torch_deeplab()
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = deeplab_statedict_to_backbone(sd)
+
+    jmodel = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat")
+    x = np.random.default_rng(0).standard_normal(
+        (1, 65, 65, 3)).astype(np.float32)
+    # init to get the full variable structure, then overwrite
+    variables = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, stats)}
+    got = np.asarray(jmodel.apply(variables, jnp.asarray(x)))
+
+    with torch.no_grad():
+        exp = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    exp = exp.permute(0, 2, 3, 1).numpy()
+    assert got.shape == exp.shape, (got.shape, exp.shape)
+    np.testing.assert_allclose(got, exp, rtol=2e-4, atol=2e-4)
+
+
+def test_torchvision_key_remap_examples():
+    # exact examples from the reference remap (deeplab_features.py:18-60)
+    assert torchvision_key_to_deeplab("conv1.weight") == \
+        "layer1.conv1.conv.weight"
+    assert torchvision_key_to_deeplab("bn1.running_mean") == \
+        "layer1.conv1.bn.running_mean"
+    assert torchvision_key_to_deeplab("layer1.0.conv1.weight") == \
+        "layer2.block1.reduce.conv.weight"
+    assert torchvision_key_to_deeplab("layer3.22.conv3.weight") == \
+        "layer4.block23.increase.conv.weight"
+    assert torchvision_key_to_deeplab("layer4.0.downsample.0.weight") == \
+        "layer5.block1.shortcut.conv.weight"
+    assert torchvision_key_to_deeplab("layer4.0.downsample.1.bias") == \
+        "layer5.block1.shortcut.bn.bias"
+    assert torchvision_key_to_deeplab("fc.weight") is None
+
+
+def test_torchvision_resnet_conversion_shapes():
+    # synthetic torchvision-style state dict (torchvision not installed)
+    rng = np.random.default_rng(0)
+    sd = {
+        "conv1.weight": rng.random((64, 3, 7, 7)),
+        "bn1.weight": rng.random(64), "bn1.bias": rng.random(64),
+        "bn1.running_mean": rng.random(64),
+        "bn1.running_var": rng.random(64),
+        "bn1.num_batches_tracked": np.array(1),
+        "layer1.0.conv1.weight": rng.random((64, 64, 1, 1)),
+        "layer1.0.bn1.weight": rng.random(64),
+        "layer1.0.bn1.running_mean": rng.random(64),
+        "layer2.0.downsample.0.weight": rng.random((512, 256, 1, 1)),
+        "layer2.0.downsample.1.running_var": rng.random(512),
+        "fc.weight": rng.random((1000, 2048)),
+    }
+    params, stats = torchvision_resnet_to_backbone(sd)
+    assert params["layer1"]["conv1"]["conv"]["kernel"].shape == \
+        (7, 7, 3, 64)
+    assert params["layer2"]["block1"]["reduce"]["conv"]["kernel"].shape \
+        == (1, 1, 64, 64)
+    assert stats["layer2"]["block1"]["reduce"]["bn"]["mean"].shape == (64,)
+    assert "shortcut" in params["layer3"]["block1"]
+    # fc / num_batches_tracked dropped
+    flat = str(params)
+    assert "fc" not in flat and "num_batches" not in flat
+
+
+def test_ppnet_statedict_mapping_group_scatter():
+    spec = ProtoSpec.equal_allocation(24, 8, num_classes=3, num_scales=4,
+                                      num_groups=3)
+    rng = np.random.default_rng(0)
+    sd = {
+        "prototype_vectors": rng.random((24, 8, 1, 1)).astype(np.float32),
+        "last_layer_group.weight":
+            rng.random((3, 9)).astype(np.float32),  # (C, C*G packed)
+    }
+    for c in range(3):
+        sd[f"group_projection.{c}.weight"] = \
+            rng.random((3, 8)).astype(np.float32)  # (G, P_c=8)
+    params, _ = ppnet_statedict_to_params(sd, spec)
+    assert params["prototype_vectors"].shape == (24, 8)
+    gw = params["group_projection"]
+    assert gw.shape == (3, 3, 8)
+    np.testing.assert_allclose(
+        gw[1], sd["group_projection.1.weight"])
+    glw = params["last_layer_group"]
+    assert glw.shape == (9, 3)
+    # packed column block k -> class k rows, transposed
+    np.testing.assert_allclose(
+        glw[3:6, :], sd["last_layer_group.weight"][:, 3:6].T)
