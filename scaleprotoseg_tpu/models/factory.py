@@ -83,13 +83,64 @@ def unet_aspp_features(pretrained=False, unet_n_features: int = REQUIRED,
     return module, out_ch, tuple(scales)
 
 
+@configurable(allowlist=["deeplab_n_features", "scales"])
+def deeplabv2_vgg16_features(pretrained=False,
+                             deeplab_n_features: int = REQUIRED,
+                             scales=(1.0,), dtype=jnp.float32, **kw):
+    from scaleprotoseg_tpu.models.classic_backbones import DeepLabVGG16
+    module = DeepLabVGG16(n_out=deeplab_n_features, aspp_mode="sum",
+                          dtype=dtype)
+    return module, deeplab_n_features, tuple(scales)
+
+
+@configurable(allowlist=["deeplab_n_features", "scales"])
+def deeplabv2_vgg16_features_multiscale(pretrained=False,
+                                        deeplab_n_features: int = REQUIRED,
+                                        scales=(1.0,), dtype=jnp.float32,
+                                        **kw):
+    from scaleprotoseg_tpu.models.classic_backbones import DeepLabVGG16
+    module = DeepLabVGG16(n_out=deeplab_n_features, aspp_mode="concat",
+                          dtype=dtype)
+    return module, 4 * deeplab_n_features, tuple(scales)
+
+
+@configurable(allowlist=["deeplab_n_features", "scales"])
+def deeplabv3_resnet101_features_multiscale(
+        pretrained=False, deeplab_n_features: int = REQUIRED,
+        scales=(1.0,), dtype=jnp.float32, **kw):
+    from scaleprotoseg_tpu.models.classic_backbones import DeepLabV3Scale
+    module = DeepLabV3Scale(n_out=deeplab_n_features,
+                            n_blocks=(3, 4, 23, 3),
+                            atrous_rates=(6, 12, 18),
+                            multi_grids=(1, 2, 4), output_stride=8,
+                            dtype=dtype)
+    return module, 4 * deeplab_n_features, tuple(scales)
+
+
+def _classic(name):
+    def factory(pretrained=False, dtype=jnp.float32, **kw):
+        from scaleprotoseg_tpu.models import classic_backbones as cb
+        return getattr(cb, f"{name}_features")(pretrained=pretrained,
+                                               dtype=dtype, **kw)
+    factory.__name__ = f"{name}_features"
+    return factory
+
+
 base_architecture_to_features = {
     "deeplabv2_resnet101": deeplabv2_resnet101_features,
     "deeplabv2_resnet50": deeplabv2_resnet50_features,
     "deeplabv2_resnet101_multiscale": deeplabv2_resnet101_features_multiscale,
     "deeplabv2_resnet50_multiscale": deeplabv2_resnet50_features_multiscale,
+    "deeplabv2_vgg16": deeplabv2_vgg16_features,
+    "deeplabv2_vgg16_multiscale": deeplabv2_vgg16_features_multiscale,
+    "deeplabv3_resnet101_multiscale": deeplabv3_resnet101_features_multiscale,
     "unet": unet_features,
     "unet_aspp": unet_aspp_features,
+    **{name: _classic(name) for name in
+       ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+        "vgg11", "vgg11_bn", "vgg13", "vgg13_bn", "vgg16", "vgg16_bn",
+        "vgg19", "vgg19_bn", "densenet121", "densenet161", "densenet169",
+        "densenet201")},
 }
 
 
