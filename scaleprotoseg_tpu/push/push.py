@@ -84,7 +84,9 @@ def _make_gather_step(model, spec: ProtoSpec):
 
 def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
                     prototypes_dir: Optional[str] = None,
-                    dedup: bool = True, log=print) -> PushResult:
+                    dedup: bool = True, save_artifacts: bool = False,
+                    cls2name: Optional[Dict] = None,
+                    log=print) -> PushResult:
     """Project every prototype onto its nearest same-class training patch.
 
     Args:
@@ -158,6 +160,12 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
 
     params = dict(variables["params"])
     params["prototype_vectors"] = jnp.asarray(new_vectors)
+
+    if save_artifacts and prototypes_dir:
+        from scaleprotoseg_tpu.push.artifacts import save_push_artifacts
+        save_push_artifacts(model, variables, spec, push_loader, best_img,
+                            best_flat, prototypes_dir, cls2name=cls2name,
+                            log=log)
 
     kept = np.arange(P)
     new_spec = spec

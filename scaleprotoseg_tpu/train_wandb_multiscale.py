@@ -61,7 +61,8 @@ def _maybe_load_pretrained_backbone(variables, log):
 
 def train(config: str, experiment_name: str, pruned: bool = False,
           data_root: Optional[str] = None, variant: str = "multiscale",
-          num_workers: Optional[int] = None, log=None) -> str:
+          num_workers: Optional[int] = None, push_artifacts: bool = True,
+          log=None) -> str:
     config_file = cli_common.load_config(config)
     hp = cli_common.train_hparams()
     results_dir = cli_common.setup_run_dir(experiment_name, config_file)
@@ -121,9 +122,17 @@ def train(config: str, experiment_name: str, pruned: bool = False,
         log("PUSH: projecting prototypes onto nearest training patches")
         push_loader = cli_common.make_push_loader(
             batch_size=1, data_root=data_root)
+        data_type = hp.get("data_type") or "cityscapes"
+        try:
+            from scaleprotoseg_tpu.eval_valid_multiscale import class_names
+            cls2name = dict(enumerate(class_names(data_type,
+                                                  spec.num_classes)))
+        except Exception:
+            cls2name = None
         result = push_prototypes(
             model, variables, spec, push_loader,
             prototypes_dir=os.path.join(results_dir, "prototypes"),
+            save_artifacts=push_artifacts, cls2name=cls2name,
             log=log)
         variables = {"params": result.params,
                      "batch_stats": variables.get("batch_stats")}
