@@ -1,0 +1,53 @@
+"""Fused Pallas ASPP kernel + shifted-matmul ASPP vs dilated-conv golden."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scaleprotoseg_tpu.models.deeplab import ASPP
+
+
+def _conv_ref(x, weights, biases, rates):
+    outs = []
+    for w, b, r in zip(weights, biases, rates):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+            [(r, r), (r, r)], rhs_dilation=(r, r),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        outs.append(y + b)
+    return jnp.concatenate(outs, -1)
+
+
+def test_aspp_module_matches_dilated_conv(rng):
+    rates = (2, 4, 6, 8)
+    x = jnp.asarray(rng.random((1, 13, 17, 32)), jnp.float32)
+    aspp = ASPP(8, rates, "concat")
+    variables = aspp.init(jax.random.PRNGKey(0), x)
+    got = np.asarray(aspp.apply(variables, x))
+    weights = [variables["params"][f"c{i}"]["kernel"] for i in range(4)]
+    biases = [variables["params"][f"c{i}"]["bias"] for i in range(4)]
+    ref = np.asarray(_conv_ref(x, weights, biases, rates))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # sum mode
+    aspp_s = ASPP(8, rates, "sum")
+    got_s = np.asarray(aspp_s.apply(variables, x))
+    np.testing.assert_allclose(
+        got_s, ref.reshape(*ref.shape[:-1], 4, 8).sum(-2),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_fused_aspp_interpret(rng):
+    from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp
+    rates = (2, 4, 6, 8)
+    x = jnp.asarray(rng.random((1, 12, 17, 256)), jnp.float32)
+    weights = [jnp.asarray(rng.random((3, 3, 256, 64)) * 0.05, jnp.float32)
+               for _ in rates]
+    biases = [jnp.asarray(rng.random((64,)), jnp.float32) for _ in rates]
+    ref = np.asarray(_conv_ref(x, weights, biases, rates))
+    got = np.asarray(fused_aspp(x, weights, biases, rates=rates,
+                                tile_rows=4, interpret=True)
+                     ).astype(np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
