@@ -120,7 +120,7 @@ class PhaseTrainer:
                   early_stopping_patience: Optional[int] = None,
                   val_every_steps: Optional[int] = None,
                   limit_val_batches: Optional[int] = None,
-                  global_step0: int = 0) -> PhaseResult:
+                  global_step0: int = 0, resume: bool = True) -> PhaseResult:
         hp = self.hp
         variant = self.variant
         iter_size = int(hp["iter_size"])
@@ -139,6 +139,28 @@ class PhaseTrainer:
                                   variables.get("batch_stats"),
                                   tx.init(trainable))
 
+        # Mid-phase resume: restore the full train state (incl. optimizer
+        # moments) from the phase's Orbax state dir if one exists.
+        state_dir = os.path.join(self.checkpoints_dir,
+                                 f"{self.stage_key(phase)}_state")
+        steps0 = 0
+        if resume:
+            try:
+                from scaleprotoseg_tpu.checkpoints.orbax_io import \
+                    restore_train_state
+                restored = restore_train_state(state_dir, state)
+                if restored is not None:
+                    # Orbax commits arrays to one device; re-place
+                    # replicated over the mesh so sharded batches compose.
+                    from scaleprotoseg_tpu.parallel import replicate
+                    state = jax.device_put(restored,
+                                           replicate(self.mesh))
+                    steps0 = int(state.step)
+                    self.log(f"Resumed phase {phase} at step {steps0} "
+                             f"from {state_dir}")
+            except Exception as e:  # pragma: no cover
+                self.log(f"Resume skipped ({e})")
+
         train_bn = (hp["freeze_type"] == "none")
         grad_mask = (variant == "group" and phase == 1 and
                      self.model.incorrect_strength == 0)
@@ -154,7 +176,7 @@ class PhaseTrainer:
         self.log(f"PHASE {phase} ({stage}) START: {max_steps} steps, "
                  f"trainable={sorted(groups)}")
 
-        steps = 0
+        steps = steps0
         acc_train = MetricAccumulator()
         val_every = val_every_steps or max(len(train_loader), 1)
         validations_without_improvement = 0
@@ -190,6 +212,14 @@ class PhaseTrainer:
                              f" val_acc={val_acc:.4f}")
 
                     self._save(state, f"{stage}_last")
+                    try:
+                        from scaleprotoseg_tpu.checkpoints.orbax_io import \
+                            save_train_state
+                        save_train_state(
+                            state_dir,
+                            state.replace(step=jnp.asarray(steps)))
+                    except Exception as e:  # pragma: no cover
+                        self.log(f"state checkpoint skipped ({e})")
                     if val_acc > self.best_acc:
                         self.best_acc = val_acc
                         self._save(state, f"{stage}_best")
