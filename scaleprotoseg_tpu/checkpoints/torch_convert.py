@@ -138,15 +138,22 @@ class _Stub:
             self.__dict__.update(state)
 
     def _walk(self, prefix=""):
-        """Yield (name, tensor) like torch named_parameters + buffers."""
+        """Yield (name, tensor) like torch named_parameters + buffers.
+        Children may be stubs (missing classes) or real torch modules
+        (importable classes like nn.Linear) — walk both."""
         d = self.__dict__
         for coll in ("_parameters", "_buffers"):
             for name, t in (d.get(coll) or {}).items():
                 if t is not None:
                     yield prefix + name, t
         for name, mod in (d.get("_modules") or {}).items():
-            if mod is not None and hasattr(mod, "_walk"):
+            if mod is None:
+                continue
+            if hasattr(mod, "_walk"):
                 yield from mod._walk(prefix + name + ".")
+            elif hasattr(mod, "state_dict"):
+                for k, v in mod.state_dict().items():
+                    yield prefix + name + "." + k, v
 
 
 def _install_stub_modules():
@@ -181,20 +188,82 @@ class _StubUnpickler(pickle.Unpickler):
 def load_reference_pickle(path: str) -> Dict[str, np.ndarray]:
     """Flat {torch_name: numpy array} from a reference whole-module pickle
     (requires torch for tensor deserialization)."""
+    sd, _ = load_reference_pickle_with_meta(path)
+    return sd
+
+
+def load_reference_pickle_with_meta(path: str):
+    """(state_dict, metadata) from a reference whole-module pickle.
+
+    Metadata recovers the non-tensor attributes the reference stores on
+    the module object (``num_scales``, ``scale_num_prototypes``,
+    ``num_groups``, ``prototype_class_identity``, ``epsilon``, ...) —
+    these never appear in a state dict but are needed to rebuild the
+    ProtoSpec for pushed/pruned (irregular) checkpoints.
+    """
     import torch
 
     _install_stub_modules()
     with open(path, "rb") as f:
         obj = torch.load(f, map_location="cpu",
-                         pickle_module=_patched_pickle(), weights_only=False)
+                         pickle_module=_patched_pickle(),
+                         weights_only=False)
+
+    meta = {}
+    d = getattr(obj, "__dict__", {})
+    for key in ("num_scales", "scale_num_prototypes", "num_groups",
+                "epsilon", "incorrect_strength", "img_size",
+                "prototype_activation_function", "patch_classification"):
+        if key in d:
+            meta[key] = d[key]
+    pci = d.get("prototype_class_identity")
+    if pci is not None and hasattr(pci, "detach"):
+        meta["prototype_class_identity"] = pci.detach().cpu().numpy()
+
     if hasattr(obj, "state_dict"):
         sd = obj.state_dict()
-        return {k: v.detach().cpu().numpy() for k, v in sd.items()}
-    if hasattr(obj, "_walk"):
-        return {k: np.asarray(v.detach().cpu().numpy()
-                              if hasattr(v, "detach") else v)
-                for k, v in obj._walk()}
-    raise ValueError(f"Cannot extract tensors from {type(obj)!r}")
+        sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    elif hasattr(obj, "_walk"):
+        sd = {k: np.asarray(v.detach().cpu().numpy()
+                            if hasattr(v, "detach") else v)
+              for k, v in obj._walk()}
+    else:
+        raise ValueError(f"Cannot extract tensors from {type(obj)!r}")
+    return sd, meta
+
+
+def spec_from_reference_meta(sd: Dict[str, np.ndarray], meta: Dict):
+    """Rebuild a ProtoSpec from pickle metadata + tensors."""
+    from scaleprotoseg_tpu.spec import ProtoSpec
+
+    pv = np.asarray(sd["prototype_vectors"])
+    num_prototypes, depth = pv.shape[0], int(np.prod(pv.shape[1:]))
+    pci = meta.get("prototype_class_identity")
+    num_scales = int(meta.get("num_scales", 1))
+    snp = meta.get("scale_num_prototypes")
+    if snp:
+        bounds = tuple(tuple(int(v) for v in snp[s])
+                       for s in sorted(snp))
+    else:
+        per = num_prototypes // num_scales
+        bounds = tuple((s * per, (s + 1) * per) for s in range(num_scales))
+    if pci is not None:
+        class_ids = tuple(int(np.argmax(row)) if row.any() else -1
+                          for row in np.asarray(pci))
+        num_classes = int(np.asarray(pci).shape[1])
+    else:
+        if "last_layer.weight" in sd:
+            num_classes = int(np.asarray(sd["last_layer.weight"]).shape[0])
+        else:
+            num_classes = int(
+                np.asarray(sd["last_layer_group.weight"]).shape[0])
+        return ProtoSpec.equal_allocation(
+            num_prototypes, depth, num_classes, num_scales,
+            num_groups=int(meta.get("num_groups", 0)))
+    return ProtoSpec(num_classes=num_classes, num_scales=num_scales,
+                     proto_depth=depth, class_ids=class_ids,
+                     scale_bounds=bounds,
+                     num_groups=int(meta.get("num_groups", 0) or 0))
 
 
 def _patched_pickle():

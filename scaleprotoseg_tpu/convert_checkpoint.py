@@ -1,0 +1,85 @@
+"""Convert reference (torch) checkpoints to framework checkpoints.
+
+CLI for the Zenodo-parity path (BASELINE.json north star: "load the
+released Zenodo checkpoints with mIoU parity"):
+
+    # whole-module reference pickle (e.g. Zenodo push_final.pth)
+    python -m scaleprotoseg_tpu.convert_checkpoint reference \\
+        push_final.pth out/checkpoints/push_final.ckpt
+
+    # torchvision ImageNet ResNet state dict -> backbone-only checkpoint
+    python -m scaleprotoseg_tpu.convert_checkpoint torchvision \\
+        resnet101.pth backbone.ckpt
+
+The reference variant reconstructs the ProtoSpec from the pickle's
+module attributes (scale ranges survive push-time pruning), maps every
+tensor onto the framework's param tree, and writes a standard
+``.ckpt`` + spec-JSON pair loadable by every CLI here.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def convert_reference(src: str, dst: str, variant_hint: str = "auto") -> str:
+    from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
+    from scaleprotoseg_tpu.checkpoints.torch_convert import (
+        load_reference_pickle_with_meta, ppnet_statedict_to_params,
+        spec_from_reference_meta)
+
+    sd, meta = load_reference_pickle_with_meta(src)
+    spec = spec_from_reference_meta(sd, meta)
+    params, batch_stats = ppnet_statedict_to_params(sd, spec)
+    variant = variant_hint
+    if variant == "auto":
+        variant = "group" if "last_layer_group" in params else (
+            "multiscale" if spec.num_scales > 1 else "single")
+    save_checkpoint(dst, params, batch_stats, spec=spec,
+                    extra={"variant": variant, "source": src,
+                           "converted_from": "reference_pickle"})
+    print(f"Converted {src} -> {dst} "
+          f"({spec.num_prototypes} prototypes, {spec.num_classes} classes,"
+          f" {spec.num_scales} scales, variant={variant})")
+    return dst
+
+
+def convert_torchvision(src: str, dst: str) -> str:
+    import torch
+
+    from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
+    from scaleprotoseg_tpu.checkpoints.torch_convert import (
+        torchvision_resnet_to_backbone)
+
+    sd = torch.load(src, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()
+          if hasattr(v, "detach")}
+    params, stats = torchvision_resnet_to_backbone(sd)
+    save_checkpoint(dst, {"backbone": params}, {"backbone": stats},
+                    extra={"source": src,
+                           "converted_from": "torchvision"})
+    print(f"Converted {src} -> {dst} (backbone only; use "
+          "PRETRAINED_BACKBONE_CKPT to load)")
+    return dst
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("kind", choices=["reference", "torchvision"])
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--variant", default="auto",
+                   choices=["auto", "single", "multiscale", "group"])
+    a = p.parse_args()
+    if a.kind == "reference":
+        convert_reference(a.src, a.dst, a.variant)
+    else:
+        convert_torchvision(a.src, a.dst)
+
+
+if __name__ == "__main__":
+    main()
