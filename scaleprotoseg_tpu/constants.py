@@ -172,14 +172,25 @@ COCO_LUT = mapping_to_lut(COCO_ID_MAPPING, size=256)
 
 def convert_targets(targets: np.ndarray, data_type: str,
                     only_19_from_cityscapes: bool = True) -> np.ndarray:
-    """Vectorized label-id conversion (ref `dataset.py:75-78`)."""
+    """Vectorized online label-id conversion (ref `dataset.py:75-80`):
+    only cityscapes/pascal convert at load time — ADE/EM/COCO ids are
+    already final after offline preprocessing (COCO_LUT is applied by
+    ``data.preprocess``)."""
     if data_type == "cityscapes" and only_19_from_cityscapes:
         return CITYSCAPES_19_LUT[targets]
     if data_type == "pascal":
         return PASCAL_LUT[targets]
-    if data_type == "coco":
-        return COCO_LUT[targets]
     return targets
+
+
+def conversion_lut(data_type: str) -> np.ndarray:
+    """Dense 256-entry online-conversion LUT (identity when no online
+    conversion applies); consumed by the native fastaug kernel."""
+    if data_type == "cityscapes":
+        return CITYSCAPES_19_LUT
+    if data_type == "pascal":
+        return PASCAL_LUT
+    return np.arange(256, dtype=np.uint8)
 
 
 def num_classes_for(data_type: str) -> int:

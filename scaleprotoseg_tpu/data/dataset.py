@@ -55,6 +55,7 @@ class PatchClassificationDataset:
         scales: Tuple[float, ...] = (1.0,),
         jitter: bool = False,
         root: Optional[str] = None,
+        native: object = "auto",
     ):
         self.split_key = split_key
         self.is_eval = is_eval
@@ -77,6 +78,20 @@ class PatchClassificationDataset:
             self.img_ids = json.load(fp)[split_key]
         self.img_id2idx = {img_id: i for i, img_id in
                            enumerate(self.img_ids)}
+
+        # native fused-augmentation fast path (C++ kernel); the numpy
+        # pipeline remains the reference and the fallback
+        self._use_native = False
+        if native in (True, "auto") and \
+                os.environ.get("SPS_NATIVE_AUG", "1") != "0":
+            try:
+                from scaleprotoseg_tpu import native as native_mod
+                self._use_native = native_mod.native_available()
+            except Exception:
+                self._use_native = False
+            if native is True and not self._use_native:
+                raise RuntimeError("native augmentation requested but "
+                                   "the fastaug library failed to build")
 
     def __len__(self) -> int:
         return len(self.img_ids)
@@ -111,50 +126,73 @@ class PatchClassificationDataset:
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         image, label = self._load_raw(index)
+        if label.ndim == 3:
+            label = label[:, :, 0]
         window = self.window_size or label.shape[:2]
-        label = self.convert(label)
 
         if self.image_margin_size:
             m = self.image_margin_size
             image = image[m:-m, m:-m]
 
-        # random scale (ref :145-153)
-        h, w = label.shape
+        # draw all augmentation randomness up front (same order/stream as
+        # the pure-python pipeline so both paths are seed-compatible)
+        in_h, in_w = label.shape
         scale = 1.0 if len(self.scales) < 2 else \
             random.uniform(self.scales[0], self.scales[1])
-        h, w = int(h * scale), int(w * scale)
-        image = cv2.resize(image, (w, h), interpolation=cv2.INTER_LINEAR)
-        label = resize_label(label, (w, h))
+        rs_h, rs_w = int(in_h * scale), int(in_w * scale)
+        pad_h = max(window[0] - rs_h, 0)
+        pad_w = max(window[1] - rs_w, 0)
+        start_h = random.randint(0, rs_h + pad_h - window[0])
+        start_w = random.randint(0, rs_w + pad_w - window[1])
+        flip = random.random() < 0.5
+        use_jitter = self.jitter and not self.is_eval and \
+            not self.push_prototypes
 
+        if self._use_native and not use_jitter:
+            from scaleprotoseg_tpu import native
+            from scaleprotoseg_tpu.constants import conversion_lut
+            out_img, out_label = native.fastaug(
+                image, label, conversion_lut(self.data_type), scale,
+                window, (start_h, start_w), flip, self.mean, self.std,
+                normalize=not self.push_prototypes)
+            return out_img, out_label
+
+        return self._python_aug(image, self.convert(label), window, scale,
+                                (rs_h, rs_w), (start_h, start_w), flip,
+                                use_jitter)
+
+    def _python_aug(self, image, label, window, scale, resized, start,
+                    flip, use_jitter):
+        """Reference-parity numpy/cv2 pipeline (ref dataset.py:116-198)."""
+        rs_h, rs_w = resized
+        image = cv2.resize(image, (rs_w, rs_h),
+                           interpolation=cv2.INTER_LINEAR)
+        label = resize_label(label, (rs_w, rs_h))
         image = image.astype(np.float32) / 255.0
 
         # pad bottom/right to window (ref :159-171)
-        pad_h = max(window[0] - h, 0)
-        pad_w = max(window[1] - w, 0)
+        pad_h = max(window[0] - rs_h, 0)
+        pad_w = max(window[1] - rs_w, 0)
         if pad_h or pad_w:
-            image = cv2.copyMakeBorder(image, 0, pad_h, 0, pad_w,
-                                       cv2.BORDER_CONSTANT,
-                                       value=tuple(float(v) for v in self.mean))
+            image = cv2.copyMakeBorder(
+                image, 0, pad_h, 0, pad_w, cv2.BORDER_CONSTANT,
+                value=tuple(float(v) for v in self.mean))
             label = cv2.copyMakeBorder(
                 label.astype(np.int32), 0, pad_h, 0, pad_w,
                 cv2.BORDER_CONSTANT, value=0)
 
-        # random crop (ref :174-181)
-        h, w = label.shape[:2]
-        start_h = random.randint(0, h - window[0])
-        start_w = random.randint(0, w - window[1])
+        start_h, start_w = start
         image = image[start_h:start_h + window[0],
                       start_w:start_w + window[1]]
         label = label[start_h:start_h + window[0],
                       start_w:start_w + window[1]]
 
-        # random horizontal flip (ref :184-186)
-        if random.random() < 0.5:
+        if flip:
             image = np.ascontiguousarray(image[:, ::-1])
             label = np.ascontiguousarray(label[:, ::-1])
 
         if not self.push_prototypes:
-            if self.jitter and not self.is_eval:
+            if use_jitter:
                 image = self._color_jitter(image)
             image = (image - self.mean) / self.std
 

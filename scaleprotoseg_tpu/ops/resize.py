@@ -23,11 +23,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _nearest_index_cached(out_size: int, in_size: int) -> tuple:
+    """PIL-NEAREST source index for each output pixel.
+
+    Derived from PIL itself (resizing an identity ramp): the analytic
+    ``floor((i + 0.5) * in/out)`` rule disagrees with PIL at centers that
+    hit exact pixel boundaries, and PIL's tie-breaking is not a simple
+    closed form — sampling PIL guarantees parity for every size pair.
+    """
+    from PIL import Image
+
+    ramp = np.arange(in_size, dtype=np.float64)[None, :].repeat(2, axis=0)
+    out = np.asarray(Image.fromarray(ramp).resize((out_size, 2),
+                                                  Image.NEAREST))[0]
+    idx = np.clip(out.astype(np.int64), 0, in_size - 1)
+    return tuple(int(i) for i in idx)
+
+
 def _nearest_index(out_size: int, in_size: int) -> np.ndarray:
-    """PIL-NEAREST source index for each output pixel."""
-    scale = in_size / out_size
-    idx = np.floor((np.arange(out_size) + 0.5) * scale).astype(np.int64)
-    return np.clip(idx, 0, in_size - 1)
+    return np.asarray(_nearest_index_cached(out_size, in_size),
+                      dtype=np.int64)
 
 
 def resize_label_nearest_np(label: np.ndarray,
