@@ -123,6 +123,13 @@ def run_evaluation(model_name: str, training_phase: str,
         pending_anns.append(ann)
     flush()
 
+    try:
+        _save_sample_and_purity_artifacts(
+            model, spec, variables, files, img_dir, ann_dir, data_type,
+            margin, out_dir, log)
+    except Exception as e:  # artifacts are best-effort
+        log(f"eval artifacts skipped: {e}")
+
     result = evaluator.result()
     names = class_names(data_type, spec.num_classes)
     iou_scores = {names[i]: result["per_class_iou"][i]
@@ -135,6 +142,89 @@ def run_evaluation(model_name: str, training_phase: str,
     log(f"mean IoU: {result['mean_iou']:.4f}  "
         f"pixel acc: {result['pixel_accuracy']:.4f}")
     return result
+
+
+def _save_sample_and_purity_artifacts(model, spec, variables, files,
+                                      img_dir, ann_dir, data_type, margin,
+                                      out_dir, log, n_samples: int = 5,
+                                      n_purity: int = 10, top_k: int = 10):
+    """Top-K nearest-prototype purity curve + sample visualizations
+    (ref eval_valid_multiscale.py:255-311, 336-410), computed on the
+    prediction grid."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from scaleprotoseg_tpu.ops.resize import resize_label_nearest_np
+
+    @jax.jit
+    def forward(variables, image):
+        out = model.apply(variables, image, train=False)
+        return out.logits, out.distances
+
+    proto_class = np.argmax(spec.class_identity, axis=1)
+    purity_hits = np.zeros(top_k)
+    purity_total = 0
+    sample_dir = os.path.join(out_dir, "samples")
+    os.makedirs(sample_dir, exist_ok=True)
+
+    for i, name in enumerate(files[:max(n_samples, n_purity)]):
+        img = np.load(os.path.join(img_dir, name + ".npy"))
+        if margin:
+            img = img[margin:-margin, margin:-margin]
+        ann = np.load(os.path.join(ann_dir, name + ".npy"))
+        if ann.ndim == 3:
+            ann = ann[..., 0]
+        ann = convert_targets(ann, data_type).astype(np.int64)
+        x = _prepare_image(img, ann.shape, data_type)
+        logits, dists = jax.device_get(
+            forward(variables, jnp.asarray(x)[None].astype(np.float32)))
+        pred = np.argmax(logits[0], -1)
+
+        if i < n_purity:
+            d = np.asarray(dists[0]).reshape(-1, spec.num_prototypes)
+            order = np.argsort(d, axis=1)[:, :top_k]     # (N, K)
+            nearest_cls = proto_class[order]
+            flat_pred = pred.reshape(-1)
+            valid = resize_label_nearest_np(
+                ann, (pred.shape[1], pred.shape[0])).reshape(-1) > 0
+            match = nearest_cls[valid] == flat_pred[valid][:, None]
+            # cumulative purity: any of the top-k matches the prediction
+            purity_hits += np.maximum.accumulate(match, axis=1).sum(0)
+            purity_total += int(valid.sum())
+
+        if i < n_samples:
+            t = resize_label_nearest_np(ann,
+                                        (pred.shape[1], pred.shape[0]))
+            fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+            axes[0].imshow(img)
+            axes[0].set_title("input")
+            axes[1].imshow(t, cmap="tab20")
+            axes[1].set_title("ground truth")
+            axes[2].imshow(pred + 1, cmap="tab20")
+            axes[2].set_title("prediction")
+            for ax in axes:
+                ax.axis("off")
+            fig.tight_layout()
+            fig.savefig(os.path.join(sample_dir, f"{name}.png"), dpi=90)
+            plt.close(fig)
+
+    if purity_total:
+        curve = (purity_hits / purity_total).tolist()
+        with open(os.path.join(out_dir, "proto_purity.json"), "w") as f:
+            json.dump({"top_k_purity": curve,
+                       "n_pixels": purity_total}, f, indent=2)
+        fig, ax = plt.subplots()
+        ax.plot(range(1, top_k + 1), curve, marker="o")
+        ax.set_xlabel("K nearest prototypes")
+        ax.set_ylabel("purity (any top-K matches prediction)")
+        ax.set_ylim(0, 1.02)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "proto_purity.png"), dpi=110)
+        plt.close(fig)
+        log(f"top-1 prototype purity: {curve[0]:.4f}")
 
 
 def _save_plots(out_dir: str, iou_scores: dict, variables, spec):

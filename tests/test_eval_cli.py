@@ -39,6 +39,13 @@ def test_eval_valid_multiscale(trained_run):
     assert set(scores) == {"background", "cell"}
     assert os.path.exists(os.path.join(out_dir, "mean_iou.txt"))
     assert os.path.exists(os.path.join(out_dir, "iou_per_class.png"))
+    # top-K purity curve + sample visualizations
+    with open(os.path.join(out_dir, "proto_purity.json")) as f:
+        purity = json.load(f)["top_k_purity"]
+    assert len(purity) == 10
+    assert all(purity[i] <= purity[i + 1] + 1e-9 for i in range(9))
+    samples = os.listdir(os.path.join(out_dir, "samples"))
+    assert len(samples) >= 1
 
 
 def test_eval_test_png_export(trained_run, tmp_path):
