@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import os
-from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -14,7 +14,6 @@ format is the single-file interchange the converter and eval tools use.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Dict, Optional, Tuple

@@ -15,8 +15,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def save_train_state(path: str, state) -> None:
     import orbax.checkpoint as ocp

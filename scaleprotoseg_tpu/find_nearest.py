@@ -20,7 +20,6 @@ bbox overlay (``nearest-{i}*.png``).
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import jax

@@ -19,7 +19,7 @@ always-correct XLA path and the golden reference for it.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

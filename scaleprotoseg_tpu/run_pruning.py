@@ -10,7 +10,6 @@ find each prototype's 6 nearest train patches, prune the impure ones
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 from typing import Optional
 

@@ -22,7 +22,6 @@ inputs (see parallel.mesh); the gradient all-reduce is inserted by XLA.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
