@@ -1,2 +1,2 @@
 from scaleprotoseg_tpu.parallel.mesh import (  # noqa: F401
-    batch_sharding, create_mesh, replicate, shard_batch)
+    batch_sharding, create_mesh, replicate, shard_batch, spatial_sharding)

@@ -44,6 +44,18 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the height dimension of NHWC images across the mesh.
+
+    For full-image inference larger than one chip (e.g. 1024x2048
+    Cityscapes eval on small chips), jitting the forward with the input
+    height-sharded makes XLA SPMD partition every convolution with
+    automatic halo exchanges over ICI — no manual collectives
+    (SURVEY.md §5 "long-context" equivalent: spatial partitioning of the
+    conv stack)."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Device-put a host batch with the leading dim sharded over the mesh.
 
