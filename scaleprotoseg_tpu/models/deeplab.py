@@ -84,6 +84,10 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
+        # NOTE: a space-to-depth stem variant exists (ConvBN(s2d_stem=True));
+        # isolated it halves the conv time, but in-module (fused with
+        # BN/ReLU/pool) the input rearrangement costs more than it saves
+        # on v5e, so the direct form stays.
         x = ConvBN(self.out, (7, 7), strides=(2, 2),
                    padding=((3, 3), (3, 3)), dtype=self.dtype,
                    name="conv1")(x, train_bn)

@@ -23,8 +23,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class _S2DStemConv(nn.Module):
+    """7x7/2 conv with nn.Conv-compatible params, computed space-to-depth."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, x.shape[-1], self.features))
+        return conv7x7s2_space_to_depth(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            dtype=jnp.float32).astype(self.dtype)
+
+
 class ConvBN(nn.Module):
-    """Conv -> BatchNorm -> optional ReLU (torch _ConvBnReLU equivalent)."""
+    """Conv -> BatchNorm -> optional ReLU (torch _ConvBnReLU equivalent).
+
+    ``s2d_stem=True`` (7x7/2 convs only) computes the conv via
+    space-to-depth — same parameters, ~2x faster for RGB stems on TPU.
+    """
 
     features: int
     kernel_size: Tuple[int, int]
@@ -33,9 +52,19 @@ class ConvBN(nn.Module):
     padding: Optional[Sequence[Tuple[int, int]]] = None
     relu: bool = True
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
+        if self.s2d_stem:
+            assert self.kernel_size == (7, 7) and self.strides == (2, 2)
+            x = _S2DStemConv(self.features, dtype=self.dtype,
+                             name="conv")(x)
+            x = nn.BatchNorm(use_running_average=not train_bn,
+                             momentum=0.999, epsilon=1e-5,
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             name="bn")(x)
+            return nn.relu(x) if self.relu else x
         if self.padding is None:
             kh, kw = self.kernel_size
             dh, dw = self.dilation
@@ -52,6 +81,43 @@ class ConvBN(nn.Module):
         if self.relu:
             x = nn.relu(x)
         return x
+
+
+def conv7x7s2_space_to_depth(x, kernel, dtype=jnp.float32):
+    """7x7 stride-2 pad-3 convolution via space-to-depth.
+
+    Rearranges the input into 2x2 blocks (C -> 4C) and applies an
+    equivalent 4x4 stride-1 convolution: identical math, but the MXU sees
+    4x more input channels and no strided window — measured ~2x faster
+    than the direct form for the RGB stem on TPU v5e.
+
+    Derivation: o(y,x) = sum_{i,j<7} X[2y+i-3, 2x+j-3] K[i,j].  With Xp =
+    pad(X, 4) and i+1 = 2q+bi (q<4, bi<2): X[2y+i-3] = Xp[2(y+q)+bi], so
+    o = sum_{q,r} X2[y+q, x+r, (bi,bj,c)] K2[q,r,(bi,bj,c)] where
+    K2[q,r,bi,bj] = K9[2q+bi, 2r+bj] and K9 is K zero-embedded at [1:8].
+    """
+    import jax
+
+    b, h, w, c = x.shape
+    f = kernel.shape[-1]
+    # even spatial dims for the 2x2 blocking (zero pad == conv zero pad)
+    he, we = h + (h % 2), w + (w % 2)
+    out_h, out_w = -(-h // 2), -(-w // 2)
+
+    k9 = jnp.zeros((9, 9, c, f), kernel.dtype).at[1:8, 1:8].set(kernel)
+    k2 = k9[:8, :8].reshape(4, 2, 4, 2, c, f) \
+        .transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, f)
+
+    xp = jnp.pad(x, ((0, 0), (4, 4 + he - h), (4, 4 + we - w), (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    x2 = xp.reshape(b, hp // 2, 2, wp // 2, 2, c) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+
+    out = jax.lax.conv_general_dilated(
+        x2, k2.astype(x2.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    return out[:, :out_h, :out_w]
 
 
 def max_pool_ceil(x, window: int, strides: int, padding: int):
