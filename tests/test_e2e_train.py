@@ -49,6 +49,11 @@ def test_full_prototype_phase_pipeline(dataset_root, tmp_path):
     assert any("val_accuracy" in r for r in records)
     assert any("train_cross_entropy" in r for r in records)
     assert any(r.get("training_stage") == 2.0 for r in records)
+    # learning sanity: the blob task is separable; joint training should
+    # beat chance (0.5) within a handful of steps
+    joint_acc = [r["val_accuracy"] for r in records
+                 if r.get("training_stage") == 1.0 and "val_accuracy" in r]
+    assert joint_acc and max(joint_acc) > 0.55, joint_acc
 
     # final checkpoint loads and its spec matches the (possibly pruned) bank
     from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
