@@ -163,6 +163,36 @@ def test_gradient_accumulation_matches_large_batch(rng):
         np.array(state2.params["last_layer"]), rtol=1e-4, atol=1e-6)
 
 
+def test_msc_pyramid_train_step(rng):
+    """Pascal/COCO path: MSC input pyramid -> list of outputs; the loss
+    averages across them (ref module_multiscale.py:216-277)."""
+    spec = ProtoSpec.equal_allocation(24, 8, num_classes=3, num_scales=4)
+    backbone = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat")
+    model = PPNet(backbone=backbone, spec=spec,
+                  backbone_channels=spec.feature_depth,
+                  msc_scales=(0.5,))
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    groups = phase_groups("multiscale", 1, HP)
+    trainable, _ = partition_params(variables["params"], set(groups))
+    tx = make_phase_optimizer(groups, label_params(trainable),
+                              schedule=poly_schedule(0.9, 100))
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats"),
+                              tx.init(trainable))
+    step = make_train_step(model, spec, tx, set(groups),
+                           LossWeights(kld=0.25), donate=False)
+    image = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    target = jnp.asarray(rng.integers(0, 4, (2, 64, 64)), jnp.int32)
+    new_state, metrics = step(state, image, target)
+    assert np.isfinite(float(metrics["loss"]))
+    # n_patches counts all three outputs' grids (base + pyramid + max);
+    # ceil-mode OS-8: 64 -> 9x9 grid, 32 (0.5 pyramid) -> 5x5
+    base = 9 * 9 * 2
+    pyr = 5 * 5 * 2
+    assert float(metrics["n_patches"]) == 2 * base + pyr
+
+
 def test_eval_step_and_data_parallel_mesh(rng):
     model, spec, variables = _build()
     state, step = _make_state_and_step(model, spec, variables,
