@@ -164,11 +164,18 @@ def make_phase_optimizer(
     labels_tree,
     schedule: Optional[Callable] = None,
     iter_size: int = 1,
+    guard_nonfinite: int = 0,
 ) -> optax.GradientTransformation:
     """Build the multi_transform optimizer over trainable labels.
 
     ``labels_tree`` must only contain labels present in ``groups`` (the
-    caller partitions out frozen parameters before differentiation)."""
+    caller partitions out frozen parameters before differentiation).
+
+    ``guard_nonfinite`` > 0 wraps the optimizer in
+    ``optax.apply_if_finite``: steps whose gradients contain NaN/inf are
+    skipped (update = 0, moments untouched) up to that many consecutive
+    times — elastic-training hygiene the reference lacks (a single bad
+    batch there corrupts Adam state for good)."""
     transforms = {}
     for label, grp in groups.items():
         chain = []
@@ -182,6 +189,8 @@ def make_phase_optimizer(
     tx = optax.multi_transform(transforms, labels_tree)
     if iter_size > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=iter_size)
+    if guard_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=guard_nonfinite)
     return tx
 
 

@@ -134,7 +134,8 @@ class PhaseTrainer:
                                  max(max_steps // iter_size, 1)) \
             if phase == 1 else None
         tx = make_phase_optimizer(groups, label_params(trainable),
-                                  schedule=schedule, iter_size=iter_size)
+                                  schedule=schedule, iter_size=iter_size,
+                                  guard_nonfinite=50)
         state = TrainState.create(variables["params"],
                                   variables.get("batch_stats"),
                                   tx.init(trainable))
