@@ -32,7 +32,7 @@ def _round_up(x: int, m: int) -> int:
 def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
                biases: Sequence[jax.Array],
                rates: Tuple[int, ...] = (6, 12, 18, 24),
-               tile_rows: int = 8, chunk_c: int = 128,
+               tile_rows: int = 16, chunk_c: int = 128,
                interpret: bool = False) -> jax.Array:
     """Concat-ASPP: x (B, H, W, C) -> (B, H, W, len(rates)*F) bf16\n    (fp32 accumulation in VMEM scratch)."""
     from jax.experimental import pallas as pl
@@ -74,6 +74,8 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
             acc[:] = jnp.zeros_like(acc)
 
         dma.wait()
+        # NOTE: Mosaic cannot roll bf16 along the sublane axis (compile
+        # crash); cast to fp32 first.
         xt = xbuf[:].astype(jnp.float32)   # (tile_in_rows, w8, chunk_c)
         for ri, rate in enumerate(rates):
             for di in range(3):
