@@ -121,6 +121,83 @@ def _torch_forward(model, x_nchw):
         return logits.numpy(), d.permute(0, 2, 3, 1).numpy()
 
 
+def test_reference_group_pickle_roundtrip(tmp_path):
+    """Grouped (flagship) variant: per-class Linear group projections +
+    packed group last layer survive conversion with output parity."""
+    torch.manual_seed(1)
+    spec = ProtoSpec.equal_allocation(24, 8, num_classes=3, num_scales=4,
+                                      num_groups=3)
+    model, _ = _build_reference_style_module()
+    # graft the group head onto the pickled module, reference-style
+    del model.last_layer
+    model.num_groups = 3
+    model.incorrect_strength = -0.5
+    model.group_projection = nn.ModuleList(
+        [nn.Linear(8, 3, bias=False) for _ in range(3)])
+    model.last_layer_group = nn.Linear(9, 3, bias=False)
+    src = tmp_path / "final-group.pth"
+    torch.save(model, str(src))
+    for name in ("segmentation.utils",
+                 "segmentation.model.model_multiscale", "segmentation",
+                 "segmentation.model", "deeplab_pytorch",
+                 "deeplab_pytorch.libs", "deeplab_pytorch.libs.models",
+                 "deeplab_pytorch.libs.models.deeplabv2_multiscale"):
+        sys.modules.pop(name, None)
+
+    dst = tmp_path / "final-group.ckpt"
+    convert_reference(str(src), str(dst))
+    params, batch_stats, meta = load_checkpoint(str(dst))
+    cspec = spec_from_meta(meta["spec"])
+    assert meta["extra"]["variant"] == "group"
+    assert cspec.num_groups == 3
+
+    jmodel = PPNet(
+        backbone=DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1),
+                           aspp_mode="concat"),
+        spec=cspec, backbone_channels=32, grouped=True)
+    x = np.random.default_rng(1).standard_normal(
+        (1, 33, 33, 3)).astype(np.float32)
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, batch_stats)}
+    out = jmodel.apply(variables, jnp.asarray(x))
+
+    # torch-side grouped forward
+    _, exp_dists = _torch_forward_distances_only(model, x)
+    act = np.log((exp_dists + 1) / (exp_dists + 1e-4))
+    flat = act.reshape(-1, 24)
+    group_outs = []
+    with torch.no_grad():
+        for c in range(3):
+            idx = np.nonzero(cspec.class_identity[:, c])[0]
+            g = model.group_projection[c](
+                torch.from_numpy(flat[:, idx]))
+            group_outs.append(torch.exp(g))
+        cat = torch.cat(group_outs, dim=-1)
+        exp_logits = model.last_layer_group(cat).numpy().reshape(
+            1, *exp_dists.shape[1:3], 3)
+    np.testing.assert_allclose(np.asarray(out.logits), exp_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+def _torch_forward_distances_only(model, x_nhwc):
+    x_nchw = torch.from_numpy(x_nhwc).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        feats = torch.sigmoid(model.features.base(x_nchw))
+        n, c, h, w = feats.shape
+        fs = feats.view(n, 4, 8, h, w)
+        protos = model.prototype_vectors.view(24, 8)
+        dists = []
+        for s in range(4):
+            xs = fs[:, s]
+            ps = protos[s * 6:(s + 1) * 6]
+            x2 = (xs ** 2).sum(1, keepdim=True)
+            cross = torch.einsum("nchw,pc->nphw", xs, ps)
+            p2 = (ps ** 2).sum(1)[None, :, None, None]
+            dists.append(torch.relu(x2 - 2 * cross + p2))
+        d = torch.cat(dists, 1)
+    return None, d.permute(0, 2, 3, 1).numpy()
+
+
 def test_reference_pickle_roundtrip(tmp_path):
     model, _ = _build_reference_style_module()
     src = tmp_path / "push_final.pth"
