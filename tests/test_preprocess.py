@@ -71,6 +71,52 @@ def test_preprocess_cityscapes_category_conversion(tmp_path):
         assert json.load(f)["val"] == ["frame_000001"]
 
 
+def test_cityscapes_offline_online_conversion_chain(tmp_path):
+    """Official ids -> (offline) category index -> (online) 19-class train
+    ids: the two-stage chain must match the reference's end-to-end mapping
+    (road 7 -> cat 1 -> train id 1; car 26 -> cat 20 -> 18+1=19? no:
+    CITYSCAPES_19_EVAL_CATEGORIES[20] = 14 -> stored 14 = car train id 13+1)."""
+    source = tmp_path / "raw"
+    target = tmp_path / "out"
+    city_dir = source / "gtFine" / "val" / "c"
+    img_dir = source / "leftImg8bit" / "val" / "c"
+    city_dir.mkdir(parents=True)
+    img_dir.mkdir(parents=True)
+    label = np.zeros((16, 16), np.uint8)
+    label[:, :4] = 7     # road     -> train id 0 (stored 1)
+    label[:, 4:8] = 26   # car      -> train id 13 (stored 14)
+    label[:, 8:12] = 23  # sky      -> train id 10 (stored 11)
+    label[:, 12:] = 4    # static   -> void (stored 0)
+    Image.fromarray(label).save(city_dir / "f_gtFine_labelIds.png")
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        img_dir / "f_leftImg8bit.png")
+    preprocess_cityscapes(n_jobs=1, source=str(source), target=str(target))
+
+    from scaleprotoseg_tpu.data.dataset import PatchClassificationDataset
+    ds = PatchClassificationDataset(
+        split_key="val", is_eval=True, data_type="cityscapes",
+        mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225],
+        image_margin_size=0, window_size=(16, 16), scales=(1.0,),
+        only_19_from_cityscapes=True, root=str(target), native=False)
+    import random
+    random.seed(0)
+    _, lab = ds[0]
+    got = {int(v) for v in np.unique(lab)}
+    assert got == {1, 14, 11, 0}, got
+    # native path produces the same chain
+    try:
+        ds_n = PatchClassificationDataset(
+            split_key="val", is_eval=True, data_type="cityscapes",
+            mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225],
+            image_margin_size=0, window_size=(16, 16), scales=(1.0,),
+            only_19_from_cityscapes=True, root=str(target), native=True)
+        random.seed(0)
+        _, lab_n = ds_n[0]
+        np.testing.assert_array_equal(lab_n, lab)
+    except RuntimeError:
+        pass  # no compiler available
+
+
 def test_add_margins_mirrors(tmp_path):
     img = Image.fromarray(
         np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3))
