@@ -163,17 +163,20 @@ def test_gradient_accumulation_matches_large_batch(rng):
         np.array(state2.params["last_layer"]), rtol=1e-4, atol=1e-6)
 
 
-def test_msc_pyramid_train_step(rng):
+@pytest.mark.parametrize("grouped", [False, True])
+def test_msc_pyramid_train_step(rng, grouped):
     """Pascal/COCO path: MSC input pyramid -> list of outputs; the loss
-    averages across them (ref module_multiscale.py:216-277)."""
-    spec = ProtoSpec.equal_allocation(24, 8, num_classes=3, num_scales=4)
+    averages across them (ref module_multiscale.py:216-277); also the
+    grouped variant (group_scaleproto_pascal/coco configs)."""
+    spec = ProtoSpec.equal_allocation(24, 8, num_classes=3, num_scales=4,
+                                      num_groups=3 if grouped else 0)
     backbone = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat")
     model = PPNet(backbone=backbone, spec=spec,
                   backbone_channels=spec.feature_depth,
-                  msc_scales=(0.5,))
+                  msc_scales=(0.5,), grouped=grouped)
     x = jnp.zeros((2, 64, 64, 3))
     variables = model.init(jax.random.PRNGKey(0), x, train=True)
-    groups = phase_groups("multiscale", 1, HP)
+    groups = phase_groups("group" if grouped else "multiscale", 1, HP)
     trainable, _ = partition_params(variables["params"], set(groups))
     tx = make_phase_optimizer(groups, label_params(trainable),
                               schedule=poly_schedule(0.9, 100))
@@ -181,7 +184,8 @@ def test_msc_pyramid_train_step(rng):
                               variables.get("batch_stats"),
                               tx.init(trainable))
     step = make_train_step(model, spec, tx, set(groups),
-                           LossWeights(kld=0.25), donate=False)
+                           LossWeights(kld=0.25, group_ent=0.05),
+                           project_group_simplex=grouped, donate=False)
     image = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
     target = jnp.asarray(rng.integers(0, 4, (2, 64, 64)), jnp.int32)
     new_state, metrics = step(state, image, target)
@@ -191,6 +195,9 @@ def test_msc_pyramid_train_step(rng):
     base = 9 * 9 * 2
     pyr = 5 * 5 * 2
     assert float(metrics["n_patches"]) == 2 * base + pyr
+    if grouped:
+        gw = np.asarray(new_state.params["group_projection"])
+        np.testing.assert_allclose(gw.sum(-1), 1.0, rtol=1e-4)
 
 
 def test_eval_step_and_data_parallel_mesh(rng):
