@@ -25,14 +25,15 @@ def prune_prototypes(push_loader, model, variables: Dict, spec: ProtoSpec,
                      k: int = 6, prune_threshold: int = 3,
                      original_model_dir: Optional[str] = None,
                      epoch_number: int = 0, full_save: bool = False,
-                     log=print) -> Tuple[Dict, ProtoSpec, np.ndarray]:
+                     mesh=None, log=print
+                     ) -> Tuple[Dict, ProtoSpec, np.ndarray]:
     """Returns (pruned params, pruned spec, kept indices)."""
     nearest_class_ids = find_k_nearest_patches_to_prototypes(
         push_loader, model, variables, spec, k=k, full_save=full_save,
         root_dir_for_saving_images=(
             os.path.join(original_model_dir, "img")
             if original_model_dir and full_save else None),
-        log=log)
+        mesh=mesh, log=log)
 
     proto_class = np.argmax(spec.class_identity, axis=1)
     to_prune = []
@@ -62,5 +63,6 @@ def prune_prototypes(push_loader, model, variables: Dict, spec: ProtoSpec,
 
     new_spec = spec.prune(to_prune)
     keep_idx = spec.keep_indices(to_prune)
-    new_params = prune_model_params(dict(variables["params"]), keep_idx)
+    new_params = prune_model_params(dict(variables["params"]), keep_idx,
+                                    old_spec=spec, new_spec=new_spec)
     return new_params, new_spec, keep_idx

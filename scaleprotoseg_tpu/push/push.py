@@ -85,7 +85,7 @@ def _make_gather_step(model, spec: ProtoSpec):
 def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
                     prototypes_dir: Optional[str] = None,
                     dedup: bool = True, save_artifacts: bool = False,
-                    cls2name: Optional[Dict] = None,
+                    cls2name: Optional[Dict] = None, mesh=None,
                     log=print) -> PushResult:
     """Project every prototype onto its nearest same-class training patch.
 
@@ -93,10 +93,21 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
       push_loader: iterable of (images NHWC normalized, raw labels) batches
         covering the train split in a fixed order.
       dedup: prune exact-duplicate prototypes afterwards (ref :327-335).
+      mesh: optional data mesh — the dataset scan (the push hot loop,
+        SURVEY.md §3.3) shards each batch's image axis over it, so the
+        full-split forward fans out data-parallel (a batch of
+        ``mesh_size`` full-res images runs one image per chip).
     """
     P = spec.num_prototypes
     min_step = _make_min_step(model, spec)
     gather_step = _make_gather_step(model, spec)
+
+    def place(images, targets):
+        images, targets = jnp.asarray(images), jnp.asarray(targets)
+        if mesh is not None and mesh.devices.size > 1:
+            from scaleprotoseg_tpu.parallel import shard_batch
+            return shard_batch((images, targets), mesh)
+        return images, targets
 
     best_dist = np.full((P,), np.inf, np.float64)
     best_img = np.full((P,), -1, np.int64)
@@ -105,8 +116,8 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
 
     n_batches = 0
     for images, targets in push_loader:
-        vals, idxs = jax.device_get(
-            min_step(variables, jnp.asarray(images), jnp.asarray(targets)))
+        vals, idxs = jax.device_get(min_step(variables,
+                                             *place(images, targets)))
         for b in range(vals.shape[0]):
             improved = vals[b] < best_dist
             best_dist = np.where(improved, vals[b], best_dist)
@@ -177,7 +188,8 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
             log(f"push: removing {len(duplicates)} duplicate prototypes")
         new_spec = spec.prune(duplicates)
         kept = spec.keep_indices(duplicates)
-        params = prune_model_params(params, kept)
+        params = prune_model_params(params, kept, old_spec=spec,
+                                    new_spec=new_spec)
 
     if prototypes_dir:
         os.makedirs(prototypes_dir, exist_ok=True)
@@ -193,13 +205,46 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
                       winners=best_img, min_dists=best_dist)
 
 
-def prune_model_params(params: Dict, keep: np.ndarray) -> Dict:
+def prune_model_params(params: Dict, keep: np.ndarray,
+                       old_spec: Optional[ProtoSpec] = None,
+                       new_spec: Optional[ProtoSpec] = None) -> Dict:
     """Model surgery for prototype removal (ref model_multiscale.py:400-432):
-    slice the bank and the last layer's input rows."""
+    slice the bank and the last layer's input rows.
+
+    For grouped models the ``group_projection`` (C, G, Pc_max) columns are
+    addressed through ``spec.class_proto_index``, which is re-derived from
+    the pruned spec — so the kept columns must be re-packed against the new
+    per-class index layout (the reference's grouped model has no surgery at
+    all; this is the grouped analog of model_multiscale.py:400-432).
+    ``last_layer_group`` rows are (class, group) slots, independent of
+    prototype indices, and stay as-is; a class emptied by pruning has its
+    group activations zeroed by ``compute_group``'s ``class_has_protos``
+    mask, making its rows inert.
+    """
+    keep = np.asarray(keep)
     out = dict(params)
     out["prototype_vectors"] = jnp.asarray(
         np.asarray(params["prototype_vectors"])[keep])
     if "last_layer" in out:
         out["last_layer"] = jnp.asarray(
             np.asarray(params["last_layer"])[keep, :])
+    if "group_projection" in out:
+        if old_spec is None or new_spec is None:
+            raise ValueError(
+                "pruning a grouped model requires the pre- and post-prune "
+                "ProtoSpec to re-pack group_projection columns")
+        gp = np.asarray(params["group_projection"])   # (C, G, Pc_max_old)
+        num_classes, num_groups, _ = gp.shape
+        keep_set = set(int(i) for i in keep)
+        new_gp = np.zeros(
+            (num_classes, num_groups, max(new_spec.max_protos_per_class, 1)),
+            gp.dtype)
+        for c in range(num_classes):
+            # Both index tables are ascending in prototype id and pruning
+            # preserves relative order, so kept old columns map onto the
+            # first len(kept) new columns in the same order.
+            old_cols = [j for j, p in enumerate(old_spec.class_proto_index[c])
+                        if p >= 0 and int(p) in keep_set]
+            new_gp[c, :, :len(old_cols)] = gp[c][:, old_cols]
+        out["group_projection"] = jnp.asarray(new_gp)
     return out

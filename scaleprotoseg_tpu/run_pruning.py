@@ -13,7 +13,7 @@ import argparse
 import os
 from typing import Optional
 
-from scaleprotoseg_tpu import cli_common, settings
+from scaleprotoseg_tpu import cli_common, configlib, settings
 from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
 from scaleprotoseg_tpu.model_loading import load_model
 from scaleprotoseg_tpu.prune import prune_prototypes
@@ -29,16 +29,30 @@ def run_pruning(config: str, experiment_name: str, k: int = 6,
     model_dir = os.path.join(results_root or settings.results_dir(),
                              experiment_name)
     log = create_logger(os.path.join(model_dir, "pruning.log"))
-    ckpt = os.path.join(model_dir, "checkpoints", "push_last.ckpt")
+    # proto-phase runs save push_last; grouped runs use the group naming
+    # (ref module_multiscale_group_train.py:384-397, finetune :244)
+    candidates = ["push_last.ckpt", "final-group.ckpt",
+                  "push-group_last.ckpt", "nopush-group_last.ckpt"]
+    ckpt = next(
+        (p for p in (os.path.join(model_dir, "checkpoints", c)
+                     for c in candidates) if os.path.exists(p)),
+        os.path.join(model_dir, "checkpoints", candidates[0]))
     model, spec, variables = load_model(model_dir, ckpt)
     cli_common.load_config(config)  # reload (load_model reparses run config)
 
+    from scaleprotoseg_tpu.parallel import create_mesh
+    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
+                                                 None))
+    if mesh.devices.size > 1 and push_batch_size % mesh.devices.size:
+        push_batch_size = push_batch_size * mesh.devices.size
+        log(f"data-parallel x{mesh.devices.size}: push batch "
+            f"-> {push_batch_size}")
     push_loader = cli_common.make_push_loader(batch_size=push_batch_size,
                                               data_root=data_root)
     new_params, new_spec, keep = prune_prototypes(
         push_loader, model, variables, spec, k=k,
         prune_threshold=prune_threshold, original_model_dir=model_dir,
-        full_save=full_save, log=log)
+        full_save=full_save, mesh=mesh, log=log)
 
     out = os.path.join(model_dir, "pruned", "pruned.ckpt")
     save_checkpoint(out, new_params, variables.get("batch_stats"),

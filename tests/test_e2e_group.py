@@ -55,3 +55,42 @@ def test_group_finetune_pipeline(dataset_root, tmp_path, monkeypatch):
     for name in ("warmup-group_last.ckpt", "nopush-group_last.ckpt",
                  "push-group_last.ckpt"):
         assert os.path.exists(os.path.join(ckpt_dir, name)), name
+
+    # run_pruning on the grouped run produces a loadable checkpoint whose
+    # forward equals the original with the pruned prototypes' group
+    # weights zeroed (the surgery re-packs group_projection columns)
+    import jax
+    import jax.numpy as jnp
+    from scaleprotoseg_tpu.model_loading import load_model
+    from scaleprotoseg_tpu.run_pruning import run_pruning
+
+    model_dir = os.path.dirname(ckpt_dir)
+    pruned_path = run_pruning(str(group_cfg), "group_run", k=3,
+                              prune_threshold=1, push_batch_size=2,
+                              data_root=dataset_root)
+    assert os.path.exists(pruned_path)
+    model0, spec0, vars0 = load_model(model_dir, final)
+    model1, spec1, vars1 = load_model(
+        model_dir, os.path.join(model_dir, "pruned", "checkpoints",
+                                "push_last.ckpt"))
+    assert vars1["params"]["group_projection"].shape == \
+        (spec1.num_classes, spec1.num_groups, spec1.max_protos_per_class)
+    pruned_set = set(range(spec0.num_prototypes)) - set(
+        int(np.argwhere((np.asarray(vars0["params"]["prototype_vectors"]) ==
+                         v).all(-1))[0, 0])
+        for v in np.asarray(vars1["params"]["prototype_vectors"]))
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 32, 32, 3)),
+                    jnp.float32)
+    gp = np.asarray(vars0["params"]["group_projection"]).copy()
+    for c in range(spec0.num_classes):
+        for j, p in enumerate(spec0.class_proto_index[c]):
+            if int(p) in pruned_set:
+                gp[c, :, j] = 0.0
+    ref_params = dict(vars0["params"])
+    ref_params["group_projection"] = jnp.asarray(gp)
+    extra0 = {k: v for k, v in vars0.items() if k != "params"}
+    out_ref = model0.apply({"params": ref_params, **extra0}, x, train=False)
+    out_pruned = model1.apply(vars1, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_pruned.logits),
+                               np.asarray(out_ref.logits),
+                               rtol=1e-4, atol=1e-4)

@@ -71,6 +71,68 @@ def test_run_pruning_and_threshold_save(trained):
         assert json.load(f) == kept
 
 
+def test_grouped_prune_surgery_forward_parity():
+    """Pruning a grouped model re-packs group_projection against the new
+    class_proto_index: the pruned model's logits must equal the original
+    model's with the pruned prototypes' group weights zeroed (removing a
+    prototype removes its w*act term from every group score)."""
+    import jax
+    import jax.numpy as jnp
+    from scaleprotoseg_tpu.models.deeplab import DeepLabV2
+    from scaleprotoseg_tpu.models.ppnet import PPNet
+    from scaleprotoseg_tpu.push.push import prune_model_params
+    from scaleprotoseg_tpu.spec import ProtoSpec
+
+    spec = ProtoSpec.equal_allocation(24, 8, 3, 4, num_groups=3)
+    backbone = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat")
+
+    def build(s):
+        return PPNet(backbone=backbone, spec=s, backbone_channels=32,
+                     grouped=True)
+
+    model = build(spec)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 33, 33, 3)),
+        jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    to_prune = [0, 5, 7, 13, 18, 23]   # spans all scales and classes
+    new_spec = spec.prune(to_prune)
+    keep = spec.keep_indices(to_prune)
+    new_params = prune_model_params(dict(variables["params"]), keep,
+                                    old_spec=spec, new_spec=new_spec)
+    assert new_params["prototype_vectors"].shape[0] == len(keep)
+    assert new_params["group_projection"].shape[-1] == \
+        new_spec.max_protos_per_class
+    out_pruned = build(new_spec).apply({"params": new_params, **extra}, x,
+                                       train=False)
+
+    gp = np.asarray(variables["params"]["group_projection"]).copy()
+    pruned_set = set(to_prune)
+    for c in range(spec.num_classes):
+        for j, p in enumerate(spec.class_proto_index[c]):
+            if int(p) in pruned_set:
+                gp[c, :, j] = 0.0
+    ref_params = dict(variables["params"])
+    ref_params["group_projection"] = jnp.asarray(gp)
+    out_ref = model.apply({"params": ref_params, **extra}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_pruned.logits),
+                               np.asarray(out_ref.logits),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_prune_requires_specs():
+    """Silent grouped misalignment is now impossible: surgery without the
+    spec pair raises."""
+    import jax.numpy as jnp
+    from scaleprotoseg_tpu.push.push import prune_model_params
+    params = {"prototype_vectors": jnp.zeros((4, 2)),
+              "group_projection": jnp.zeros((2, 3, 2))}
+    with pytest.raises(ValueError, match="grouped"):
+        prune_model_params(params, np.array([0, 2]))
+
+
 def test_threshold_save_zeroes_group_weights(tmp_path, monkeypatch):
     monkeypatch.setenv("RESULTS_DIR", str(tmp_path))
     # fabricate a grouped checkpoint
