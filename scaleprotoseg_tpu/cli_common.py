@@ -80,6 +80,27 @@ def train_hparams() -> dict:
     )
 
 
+def data_parallel_batch(batch_size: int, mesh, log=print) -> int:
+    """Scale a config batch size to ``batch_size * mesh_size``.
+
+    The reference trains at global batch 2 on one GPU; on an n-chip mesh
+    the framework keeps the reference batch PER DEVICE and scales the
+    global batch so every step shards cleanly over the data axis (the
+    alternative — replicating a batch-2 step over 8 chips — computes the
+    same gradient 8 times; see ``parallel.mesh.shard_batch``).  The
+    per-sample loss weighting is unchanged; only the effective batch (and
+    therefore gradient noise) scales with the mesh, which is the standard
+    data-parallel semantics.
+    """
+    n = getattr(mesh, "devices", np.zeros(1)).size
+    if n <= 1:
+        return batch_size
+    scaled = batch_size * n
+    log(f"data-parallel x{n}: global batch {batch_size} -> {scaled} "
+        f"({batch_size}/device)")
+    return scaled
+
+
 def make_loaders(batch_size: int, num_workers: Optional[int] = None,
                  seed: int = 0, data_root: Optional[str] = None):
     """(train_loader, val_loader) per the gin dataset bindings."""

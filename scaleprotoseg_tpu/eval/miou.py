@@ -33,13 +33,19 @@ def iou_from_confusion(cm: np.ndarray) -> Tuple[np.ndarray, float, float]:
 
 
 class SegEvaluator:
-    """Streaming confusion-matrix evaluator over full-resolution batches."""
+    """Streaming confusion-matrix evaluator over full-resolution batches.
+
+    ``mesh``: optional data mesh — each batch's image axis is sharded over
+    it, fanning full-image inference out data-parallel; the per-batch
+    confusion matrix is a cross-device reduction XLA derives from the
+    sharded inputs (the (C, C) output is replicated)."""
 
     def __init__(self, model, num_classes: int,
-                 upsample_logits: bool = True):
+                 upsample_logits: bool = True, mesh=None):
         self.num_classes = num_classes
         self.model = model
         self.upsample = upsample_logits
+        self.mesh = mesh
 
         @jax.jit
         def step(variables, images, targets):
@@ -62,9 +68,12 @@ class SegEvaluator:
         self.cm = np.zeros((num_classes, num_classes), np.float64)
 
     def update(self, variables, images, targets):
+        images, targets = jnp.asarray(images), jnp.asarray(targets)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from scaleprotoseg_tpu.parallel import shard_batch
+            images, targets = shard_batch((images, targets), self.mesh)
         self.cm += np.asarray(
-            jax.device_get(self._step(variables, jnp.asarray(images),
-                                      jnp.asarray(targets))))
+            jax.device_get(self._step(variables, images, targets)))
 
     def result(self) -> Dict:
         iou, miou, acc = iou_from_confusion(self.cm)

@@ -68,11 +68,22 @@ def find_k_nearest_patches_to_prototypes(
         push_loader, model, variables, spec: ProtoSpec, k: int = 6,
         full_save: bool = False,
         root_dir_for_saving_images: Optional[str] = None,
-        log=print) -> np.ndarray:
-    """Returns (P, k) class ids of the k nearest patches per prototype."""
+        mesh=None, log=print) -> np.ndarray:
+    """Returns (P, k) class ids of the k nearest patches per prototype.
+
+    ``mesh``: optional data mesh — shards each batch's image axis so the
+    full-split scan runs data-parallel (same pattern as push).
+    """
     P = spec.num_prototypes
     step = _make_void_min_step(model)
     proto_class = np.argmax(spec.class_identity, axis=1)
+
+    def place(images, targets):
+        images, targets = jnp.asarray(images), jnp.asarray(targets)
+        if mesh is not None and mesh.devices.size > 1:
+            from scaleprotoseg_tpu.parallel import shard_batch
+            return shard_batch((images, targets), mesh)
+        return images, targets
 
     # running top-k per prototype (dist, img, flat)
     top_d = np.full((P, k), np.inf)
@@ -83,7 +94,7 @@ def find_k_nearest_patches_to_prototypes(
     offset = 0
     for images, targets in push_loader:
         vals, idxs, gshape = jax.device_get(
-            step(variables, jnp.asarray(images), jnp.asarray(targets)))
+            step(variables, *place(images, targets)))
         grid_shape = tuple(int(v) for v in gshape)
         for b in range(vals.shape[0]):
             cand_d = np.concatenate([top_d, vals[b][:, None]], axis=1)

@@ -23,7 +23,8 @@ from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
                                               save_checkpoint,
                                               spec_from_meta)
 from scaleprotoseg_tpu.models.factory import construct_ppnet
-from scaleprotoseg_tpu.train.metrics import MetricsLogger, create_logger
+from scaleprotoseg_tpu.train.metrics import (MetricsLogger, create_logger,
+                                              make_external_sinks)
 from scaleprotoseg_tpu.train.runner import PhaseTrainer, module_hparams
 
 
@@ -53,12 +54,22 @@ def _bootstrap_from_proto_checkpoint(model, variables, ckpt_path, log):
 def train(config: str, experiment_name: str,
           start_checkpoint: Optional[str] = None,
           data_root: Optional[str] = None,
-          num_workers: Optional[int] = None, log=None) -> str:
+          num_workers: Optional[int] = None,
+          n_devices: Optional[int] = None,
+          wandb_experiment: Optional[str] = None, log=None) -> str:
     config_file = cli_common.load_config(config)
     hp = cli_common.train_hparams()
     results_dir = cli_common.setup_run_dir(experiment_name, config_file)
     log = log or create_logger(os.path.join(results_dir, "train.log"))
     cli_common.seed_everything(hp["random_seed"])
+
+    from scaleprotoseg_tpu.parallel import create_mesh
+    mesh = create_mesh(n_devices=n_devices or
+                       configlib.query("train", "num_devices", None))
+    warmup_batch = cli_common.data_parallel_batch(
+        hp["warmup_batch_size"], mesh, log=log)
+    joint_batch = cli_common.data_parallel_batch(
+        hp["joint_batch_size"], mesh, log=log)
 
     ckpt = start_checkpoint or hp["start_checkpoint"]
     if not ckpt or str(ckpt) in ("", "TBD"):
@@ -102,15 +113,34 @@ def train(config: str, experiment_name: str,
     variables, _ = _bootstrap_from_proto_checkpoint(model, variables, ckpt,
                                                     log)
 
+    # Optional equivariance-JSON group init
+    # (ref model_multiscale_group.py:514,522-586 — declared NOT USED there)
+    equiv_path = configlib.query("construct_PPNet_Group",
+                                 "group_equiv_path", None)
+    if equiv_path:
+        from scaleprotoseg_tpu.models.group_init import \
+            apply_equivariance_init
+        variables["params"] = jax.tree.map(
+            jnp.asarray,
+            apply_equivariance_init(
+                dict(variables["params"]), spec, equiv_path,
+                weight=configlib.query("construct_PPNet_Group",
+                                       "equiv_scale_weight", 0.25),
+                log=log))
+
     mhp = module_hparams("group")
-    logger = MetricsLogger(results_dir)
+    logger = MetricsLogger(results_dir, sinks=make_external_sinks(
+        results_dir, experiment_name,
+        config_name=os.path.splitext(os.path.basename(config_file))[0],
+        wandb_experiment=wandb_experiment, log=log))
+    logger.log_hyperparams(configlib.operative_config())
     trainer = PhaseTrainer(model, spec, "group", results_dir, mhp,
-                           logger=logger, log=log)
+                           logger=logger, mesh=mesh, log=log)
     val_check = configlib.query("Trainer", "val_check_interval", None)
 
     global_step = 0
     if hp["warmup_steps"] > 0:
-        tl, vl = cli_common.make_loaders(hp["warmup_batch_size"],
+        tl, vl = cli_common.make_loaders(warmup_batch,
                                          num_workers=num_workers,
                                          seed=hp["random_seed"],
                                          data_root=data_root)
@@ -124,7 +154,7 @@ def train(config: str, experiment_name: str,
         global_step += res.steps_done
 
     if hp["joint_steps"] > 0:
-        tl, vl = cli_common.make_loaders(hp["joint_batch_size"],
+        tl, vl = cli_common.make_loaders(joint_batch,
                                          num_workers=num_workers,
                                          seed=hp["random_seed"] + 1,
                                          data_root=data_root)
@@ -138,7 +168,7 @@ def train(config: str, experiment_name: str,
         global_step += res.steps_done
 
     if hp["finetune_steps"] > 0:
-        tl, vl = cli_common.make_loaders(hp["joint_batch_size"],
+        tl, vl = cli_common.make_loaders(joint_batch,
                                          num_workers=num_workers,
                                          seed=hp["random_seed"] + 2,
                                          data_root=data_root)
@@ -165,9 +195,12 @@ def main():
     p.add_argument("--start-checkpoint", default=None)
     p.add_argument("--data-root", default=None)
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--wandb-experiment", default=None)
     a = p.parse_args()
     train(a.config, a.experiment_name, start_checkpoint=a.start_checkpoint,
-          data_root=a.data_root, num_workers=a.num_workers)
+          data_root=a.data_root, num_workers=a.num_workers,
+          n_devices=a.num_devices, wandb_experiment=a.wandb_experiment)
 
 
 if __name__ == "__main__":

@@ -56,18 +56,42 @@ def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis_name))
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+_REPLICATION_WARNED = set()
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
+                strict: bool = False):
     """Device-put a host batch with the leading dim sharded over the mesh.
 
-    Falls back to replicated placement when the batch size does not divide
-    the mesh (e.g. the reference's batch-2 configs on an 8-chip mesh run
-    effectively single-chip unless the batch is scaled up)."""
+    When the batch size does not divide the mesh (e.g. the reference's
+    batch-2 configs on an 8-chip mesh) the array falls back to replicated
+    placement — the step then runs the full batch on EVERY device, i.e.
+    zero data-parallel speedup.  That fallback is loudly logged once per
+    shape (and raises when ``strict=True``); the trainers avoid it by
+    scaling the global batch to ``config_batch * mesh_size``
+    (``cli_common.data_parallel_batch``)."""
     n = mesh.devices.size
     sharded = batch_sharding(mesh, axis_name)
     replicated = replicate(mesh)
 
     def put(x):
-        s = sharded if x.shape and x.shape[0] % n == 0 else replicated
-        return jax.device_put(x, s)
+        if x.shape and x.shape[0] % n == 0:
+            return jax.device_put(x, sharded)
+        if n > 1 and x.shape:
+            key = (x.shape, n)
+            if strict:
+                raise ValueError(
+                    f"batch dim {x.shape[0]} does not divide the "
+                    f"{n}-device mesh; scale the global batch "
+                    f"(cli_common.data_parallel_batch) or pad")
+            if key not in _REPLICATION_WARNED:
+                _REPLICATION_WARNED.add(key)
+                import logging
+                logging.getLogger(__name__).warning(
+                    "shard_batch: array of shape %s cannot shard over the "
+                    "%d-device mesh — REPLICATING (no data-parallel "
+                    "speedup). Scale the global batch to a multiple of "
+                    "the mesh size.", x.shape, n)
+        return jax.device_put(x, replicated)
 
     return jax.tree.map(put, batch)

@@ -43,6 +43,13 @@ def module_hparams(variant: str) -> Dict:
     name = "PatchClassificationModule" if variant == "single" else \
         "PatchClassificationModuleMultiScale"
     q = lambda p, d: configlib.query(name, p, d)  # noqa: E731
+    if variant != "group" and q("joint_last", None) is not None:
+        # joint_last/joint_no_proto only shape the GROUP joint phase
+        # (ref train_and_test.py:115-143); a proto-phase config setting
+        # them would silently no-op — fail fast instead.
+        raise ValueError(
+            "joint_last is a group-phase flag; it has no effect on the "
+            f"{variant!r} variant's phases")
     return dict(
         weights=LossWeights(
             crs_ent=q("loss_weight_crs_ent", 1.0),

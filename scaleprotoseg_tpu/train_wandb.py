@@ -18,12 +18,14 @@ from scaleprotoseg_tpu.train_wandb_multiscale import train as _train
 
 
 def train(config: str, experiment_name: str, pruned: bool = False,
-          data_root=None, num_workers=None, log=None) -> str:
+          data_root=None, num_workers=None, n_devices=None,
+          log=None) -> str:
     if pruned:
         return train_pruned(config, experiment_name, data_root=data_root,
                             num_workers=num_workers, log=log)
     return _train(config, experiment_name, data_root=data_root,
-                  variant="single", num_workers=num_workers, log=log)
+                  variant="single", num_workers=num_workers,
+                  n_devices=n_devices, log=log)
 
 
 def train_pruned(config: str, experiment_name: str, data_root=None,
@@ -50,15 +52,19 @@ def train_pruned(config: str, experiment_name: str, data_root=None,
     variant = "group" if model.grouped else (
         "multiscale" if spec.num_scales > 1 else "single")
     mhp = module_hparams(variant)
+    from scaleprotoseg_tpu.parallel import create_mesh
+    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
+                                                 None))
     trainer = PhaseTrainer(model, spec, variant,
                            os.path.join(results_dir, "pruned"), mhp,
                            logger=MetricsLogger(
                                os.path.join(results_dir, "pruned")),
-                           log=log)
-    tl, vl = cli_common.make_loaders(hp["joint_batch_size"],
-                                     num_workers=num_workers,
-                                     seed=hp["random_seed"],
-                                     data_root=data_root)
+                           mesh=mesh, log=log)
+    tl, vl = cli_common.make_loaders(
+        cli_common.data_parallel_batch(hp["joint_batch_size"], mesh,
+                                       log=log),
+        num_workers=num_workers, seed=hp["random_seed"],
+        data_root=data_root)
     res = trainer.run_phase(
         variables, phase=2, max_steps=max(hp["finetune_steps"], 1),
         train_loader=tl, val_loader=vl,

@@ -29,7 +29,8 @@ from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
                                               spec_from_meta)
 from scaleprotoseg_tpu.models.factory import construct_PPNet
 from scaleprotoseg_tpu.push.push import push_prototypes
-from scaleprotoseg_tpu.train.metrics import MetricsLogger, create_logger
+from scaleprotoseg_tpu.train.metrics import (MetricsLogger, create_logger,
+                                              make_external_sinks)
 from scaleprotoseg_tpu.train.runner import PhaseTrainer, module_hparams
 
 
@@ -59,15 +60,27 @@ def _maybe_load_pretrained_backbone(variables, log):
     return variables
 
 
-def train(config: str, experiment_name: str, pruned: bool = False,
+def train(config: str, experiment_name: str,
           data_root: Optional[str] = None, variant: str = "multiscale",
           num_workers: Optional[int] = None, push_artifacts: bool = True,
-          log=None) -> str:
+          n_devices: Optional[int] = None,
+          wandb_experiment: Optional[str] = None, log=None) -> str:
     config_file = cli_common.load_config(config)
     hp = cli_common.train_hparams()
     results_dir = cli_common.setup_run_dir(experiment_name, config_file)
     log = log or create_logger(os.path.join(results_dir, "train.log"))
     cli_common.seed_everything(hp["random_seed"])
+
+    from scaleprotoseg_tpu.parallel import create_mesh
+    # Data-parallel over all visible devices by default; pin with
+    # --num-devices / gin ``train.num_devices`` (e.g. 1 to reproduce the
+    # reference's single-device batch semantics exactly).
+    mesh = create_mesh(n_devices=n_devices or
+                       configlib.query("train", "num_devices", None))
+    warmup_batch = cli_common.data_parallel_batch(
+        hp["warmup_batch_size"], mesh, log=log)
+    joint_batch = cli_common.data_parallel_batch(
+        hp["joint_batch_size"], mesh, log=log)
 
     model, spec = construct_PPNet(variant=variant)
     window = configlib.query("PatchClassificationDataset", "window_size",
@@ -81,15 +94,19 @@ def train(config: str, experiment_name: str, pruned: bool = False,
         log(f"Resumed from {hp['start_checkpoint']}")
 
     mhp = module_hparams(variant)
-    logger = MetricsLogger(results_dir)
+    logger = MetricsLogger(results_dir, sinks=make_external_sinks(
+        results_dir, experiment_name,
+        config_name=os.path.splitext(os.path.basename(config_file))[0],
+        wandb_experiment=wandb_experiment, log=log))
+    logger.log_hyperparams(configlib.operative_config())
     trainer = PhaseTrainer(model, spec, variant, results_dir, mhp,
-                           logger=logger, log=log)
+                           logger=logger, mesh=mesh, log=log)
     val_check = configlib.query("Trainer", "val_check_interval", None)
 
     global_step = 0
     # ---------------- Phase 0: warm-up ----------------
     if hp["warmup_steps"] > 0:
-        tl, vl = cli_common.make_loaders(hp["warmup_batch_size"],
+        tl, vl = cli_common.make_loaders(warmup_batch,
                                          num_workers=num_workers,
                                          seed=hp["random_seed"],
                                          data_root=data_root)
@@ -104,7 +121,7 @@ def train(config: str, experiment_name: str, pruned: bool = False,
 
     # ---------------- Phase 1: joint ----------------
     if hp["joint_steps"] > 0:
-        tl, vl = cli_common.make_loaders(hp["joint_batch_size"],
+        tl, vl = cli_common.make_loaders(joint_batch,
                                          num_workers=num_workers,
                                          seed=hp["random_seed"] + 1,
                                          data_root=data_root)
@@ -121,7 +138,7 @@ def train(config: str, experiment_name: str, pruned: bool = False,
     if hp.get("push_proto", True):
         log("PUSH: projecting prototypes onto nearest training patches")
         push_loader = cli_common.make_push_loader(
-            batch_size=1, data_root=data_root)
+            batch_size=max(1, mesh.devices.size), data_root=data_root)
         data_type = hp.get("data_type") or "cityscapes"
         try:
             from scaleprotoseg_tpu.eval_valid_multiscale import class_names
@@ -133,7 +150,7 @@ def train(config: str, experiment_name: str, pruned: bool = False,
             model, variables, spec, push_loader,
             prototypes_dir=os.path.join(results_dir, "prototypes"),
             save_artifacts=push_artifacts, cls2name=cls2name,
-            log=log)
+            mesh=mesh, log=log)
         variables = {"params": result.params,
                      "batch_stats": variables.get("batch_stats")}
         if result.spec is not spec and \
@@ -141,7 +158,7 @@ def train(config: str, experiment_name: str, pruned: bool = False,
             spec = result.spec
             model = dataclasses.replace(model, spec=spec)
             trainer = PhaseTrainer(model, spec, variant, results_dir, mhp,
-                                   logger=logger, log=log)
+                                   logger=logger, mesh=mesh, log=log)
         save_checkpoint(os.path.join(results_dir,
                                      "checkpoints", "push_last.ckpt"),
                         variables["params"], variables.get("batch_stats"),
@@ -149,7 +166,7 @@ def train(config: str, experiment_name: str, pruned: bool = False,
 
     # ---------------- Phase 2: last layer ----------------
     if hp["finetune_steps"] > 0:
-        tl, vl = cli_common.make_loaders(hp["joint_batch_size"],
+        tl, vl = cli_common.make_loaders(joint_batch,
                                          num_workers=num_workers,
                                          seed=hp["random_seed"] + 2,
                                          data_root=data_root)
@@ -173,12 +190,16 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config")
     p.add_argument("experiment_name")
-    p.add_argument("--pruned", action="store_true")
     p.add_argument("--data-root", default=None)
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--wandb-experiment", default=None,
+                   help="resume the W&B run with this name "
+                        "(ref train_wandb_multiscale.py:167-175)")
     a = p.parse_args()
-    train(a.config, a.experiment_name, pruned=a.pruned,
-          data_root=a.data_root, num_workers=a.num_workers)
+    train(a.config, a.experiment_name,
+          data_root=a.data_root, num_workers=a.num_workers,
+          n_devices=a.num_devices, wandb_experiment=a.wandb_experiment)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,7 @@ unet_aspp_features.scales = []
 unet_aspp_features.multiscale = True
 
 train.random_seed = 20220227
+train.num_devices = 1
 train.early_stopping_patience_last_layer = 10
 train.start_checkpoint = ''
 train.warmup_steps = 0
