@@ -92,7 +92,15 @@ def run_evaluation(model_name: str, training_phase: str,
         files = files[:limit]
     log(f"Evaluating {len(files)} val images ({data_type})")
 
-    evaluator = SegEvaluator(model, spec.num_classes)
+    from scaleprotoseg_tpu import configlib
+    from scaleprotoseg_tpu.parallel import create_mesh
+    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
+                                                 None))
+    if mesh.devices.size > 1 and batch_size % mesh.devices.size:
+        batch_size = batch_size * mesh.devices.size
+        log(f"data-parallel x{mesh.devices.size}: eval batch "
+            f"-> {batch_size}")
+    evaluator = SegEvaluator(model, spec.num_classes, mesh=mesh)
     # batch images of identical shape together (variable-size datasets
     # like ADE fall back to singleton shape buckets)
     pending_imgs, pending_anns, pending_shape = [], [], None
@@ -144,13 +152,45 @@ def run_evaluation(model_name: str, training_phase: str,
     return result
 
 
+def purity_curve_update(dists_grid: np.ndarray, logits_grid: np.ndarray,
+                        proto_class: np.ndarray, label_shape,
+                        rng: np.random.Generator,
+                        n_random_pixels: int = 100) -> np.ndarray:
+    """One image's contribution to the top-K purity curve
+    (ref eval_valid_multiscale.py:255-269): at ``n_random_pixels`` random
+    LABEL-RESOLUTION pixels, the fraction of the K nearest prototypes
+    (distances bilinearly upsampled to label resolution, over the whole
+    bank) whose class equals the pixel's prediction, for every K, in
+    percent.  The upsampled values are evaluated pointwise
+    (``bilinear_sample_np``) instead of materializing the full label-res
+    distance volume the reference interpolates.
+
+    Returns a (P,) array: mean over the sampled pixels x 100.
+    """
+    from scaleprotoseg_tpu.ops.resize import bilinear_sample_np
+
+    out_h, out_w = int(label_shape[0]), int(label_shape[1])
+    rows = rng.integers(0, out_h, size=n_random_pixels)
+    cols = rng.integers(0, out_w, size=n_random_pixels)
+    sample_d = bilinear_sample_np(dists_grid, rows, cols, out_h, out_w)
+    sample_logits = bilinear_sample_np(logits_grid, rows, cols, out_h,
+                                       out_w)
+    sample_preds = np.argmax(sample_logits, axis=-1)         # (n,)
+    order = np.argsort(sample_d, axis=-1)                     # (n, P)
+    is_class_proto = proto_class[order] == sample_preds[:, None]
+    k = np.arange(1, order.shape[1] + 1, dtype=np.float64)
+    frac = np.cumsum(is_class_proto, axis=1) / k[None]        # (n, P)
+    return frac.mean(axis=0) * 100.0
+
+
 def _save_sample_and_purity_artifacts(model, spec, variables, files,
                                       img_dir, ann_dir, data_type, margin,
                                       out_dir, log, n_samples: int = 5,
-                                      n_purity: int = 10, top_k: int = 10):
+                                      n_purity: int = 10):
     """Top-K nearest-prototype purity curve + sample visualizations
-    (ref eval_valid_multiscale.py:255-311, 336-410), computed on the
-    prediction grid."""
+    (ref eval_valid_multiscale.py:255-311, 336-410).  The reference draws
+    its 100 pixels per image with the global numpy RNG; here a fixed seed
+    makes the artifact reproducible."""
     import jax
     import jax.numpy as jnp
     import matplotlib
@@ -165,8 +205,9 @@ def _save_sample_and_purity_artifacts(model, spec, variables, files,
         return out.logits, out.distances
 
     proto_class = np.argmax(spec.class_identity, axis=1)
-    purity_hits = np.zeros(top_k)
-    purity_total = 0
+    mean_top_k = np.zeros(spec.num_prototypes, np.float64)
+    purity_images = 0
+    purity_rng = np.random.default_rng(0)
     sample_dir = os.path.join(out_dir, "samples")
     os.makedirs(sample_dir, exist_ok=True)
 
@@ -184,16 +225,11 @@ def _save_sample_and_purity_artifacts(model, spec, variables, files,
         pred = np.argmax(logits[0], -1)
 
         if i < n_purity:
-            d = np.asarray(dists[0]).reshape(-1, spec.num_prototypes)
-            order = np.argsort(d, axis=1)[:, :top_k]     # (N, K)
-            nearest_cls = proto_class[order]
-            flat_pred = pred.reshape(-1)
-            valid = resize_label_nearest_np(
-                ann, (pred.shape[1], pred.shape[0])).reshape(-1) > 0
-            match = nearest_cls[valid] == flat_pred[valid][:, None]
-            # cumulative purity: any of the top-k matches the prediction
-            purity_hits += np.maximum.accumulate(match, axis=1).sum(0)
-            purity_total += int(valid.sum())
+            mean_top_k += purity_curve_update(
+                np.asarray(dists[0], np.float32),
+                np.asarray(logits[0], np.float32), proto_class, ann.shape,
+                purity_rng)
+            purity_images += 1
 
         if i < n_samples:
             t = resize_label_nearest_np(ann,
@@ -211,20 +247,22 @@ def _save_sample_and_purity_artifacts(model, spec, variables, files,
             fig.savefig(os.path.join(sample_dir, f"{name}.png"), dpi=90)
             plt.close(fig)
 
-    if purity_total:
-        curve = (purity_hits / purity_total).tolist()
+    if purity_images:
+        curve = (mean_top_k / purity_images).tolist()
         with open(os.path.join(out_dir, "proto_purity.json"), "w") as f:
-            json.dump({"top_k_purity": curve,
-                       "n_pixels": purity_total}, f, indent=2)
-        fig, ax = plt.subplots()
-        ax.plot(range(1, top_k + 1), curve, marker="o")
-        ax.set_xlabel("K nearest prototypes")
-        ax.set_ylabel("purity (any top-K matches prediction)")
-        ax.set_ylim(0, 1.02)
+            json.dump({"top_k_purity_percent": curve,
+                       "n_images": purity_images}, f, indent=2)
+        fig, ax = plt.subplots(figsize=(10, 5))
+        ax.plot(curve)
+        ax.set_xlabel("Nearest K prototypes to a pixel")
+        ax.set_ylabel("% of K prototypes from pixel class")
+        ax.set_ylim(0, 100)
         fig.tight_layout()
-        fig.savefig(os.path.join(out_dir, "proto_purity.png"), dpi=110)
+        fig.savefig(os.path.join(out_dir,
+                                 "class_prototypes_in_nearest_k.png"),
+                    dpi=110)
         plt.close(fig)
-        log(f"top-1 prototype purity: {curve[0]:.4f}")
+        log(f"top-1 prototype purity: {curve[0]:.2f}%")
 
 
 def _save_plots(out_dir: str, iou_scores: dict, variables, spec):

@@ -77,3 +77,29 @@ def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
     """Bilinear resize of (..., H, W, C) matching torch align_corners=False."""
     out_shape = x.shape[:-3] + (height, width, x.shape[-1])
     return jax.image.resize(x, out_shape, method="linear")
+
+
+def bilinear_sample_np(arr: np.ndarray, rows: np.ndarray, cols: np.ndarray,
+                       out_h: int, out_w: int) -> np.ndarray:
+    """Values of the ``align_corners=False`` bilinear upsample of ``arr``
+    (H, W, C) to (out_h, out_w) at the integer output pixels (rows, cols),
+    computed directly from the source grid — identical to
+    ``F.interpolate(..., mode='bilinear', align_corners=False)`` followed
+    by indexing, without materializing the (out_h, out_w, C) tensor (at
+    Cityscapes label resolution that would be 2M x P floats per image).
+    """
+    h, w = arr.shape[:2]
+    sy = np.clip((np.asarray(rows, np.float64) + 0.5) * (h / out_h) - 0.5,
+                 0, h - 1)
+    sx = np.clip((np.asarray(cols, np.float64) + 0.5) * (w / out_w) - 0.5,
+                 0, w - 1)
+    y0 = np.floor(sy).astype(np.int64)
+    x0 = np.floor(sx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (sy - y0)[:, None]
+    wx = (sx - x0)[:, None]
+    return (arr[y0, x0] * (1 - wy) * (1 - wx) +
+            arr[y0, x1] * (1 - wy) * wx +
+            arr[y1, x0] * wy * (1 - wx) +
+            arr[y1, x1] * wy * wx)

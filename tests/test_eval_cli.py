@@ -39,11 +39,20 @@ def test_eval_valid_multiscale(trained_run):
     assert set(scores) == {"background", "cell"}
     assert os.path.exists(os.path.join(out_dir, "mean_iou.txt"))
     assert os.path.exists(os.path.join(out_dir, "iou_per_class.png"))
-    # top-K purity curve + sample visualizations
+    # top-K purity curve (reference semantics: percent of the K nearest
+    # prototypes matching the prediction, K over the whole bank) +
+    # sample visualizations
     with open(os.path.join(out_dir, "proto_purity.json")) as f:
-        purity = json.load(f)["top_k_purity"]
-    assert len(purity) == 10
-    assert all(purity[i] <= purity[i + 1] + 1e-9 for i in range(9))
+        purity = json.load(f)["top_k_purity_percent"]
+    # curve spans the whole (post-push-dedup) bank
+    from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
+                                                  spec_from_meta)
+    _, _, meta = load_checkpoint(os.path.join(
+        results, "eval_run", "checkpoints", "push_final.ckpt"))
+    assert len(purity) == spec_from_meta(meta["spec"]).num_prototypes
+    assert all(0.0 <= v <= 100.0 + 1e-9 for v in purity)
+    assert os.path.exists(os.path.join(
+        out_dir, "class_prototypes_in_nearest_k.png"))
     samples = os.listdir(os.path.join(out_dir, "samples"))
     assert len(samples) >= 1
 
