@@ -135,11 +135,20 @@ class ASPP(nn.Module):
     checkpoints/converters are unaffected.  The caffe DeepLab head init
     (normal 0.01, zero bias) is used.  A fully fused single-pass Pallas
     variant lives in ``ops/pallas_aspp.py``.
+
+    ``mode='concat_plus'`` is the ``DeepLabV2ScalePlus`` reconstruction
+    (the defining ``deeplabv2_multiscaleplus.py`` lives in the reference's
+    MISSING ``deeplab_pytorch`` submodule — only the factory signature
+    survives, `deeplab_features.py:159-165`, unused by every shipped
+    config): concat ASPP whose branches are each augmented with an
+    image-level context projection (global average pool -> per-branch 1x1,
+    DeepLabv3-style image pooling folded per scale), preserving the
+    4 * n_out channel layout and scale semantics.
     """
 
     n_out: int
     rates: Sequence[int]
-    mode: str  # 'sum' | 'concat'
+    mode: str  # 'sum' | 'concat' | 'concat_plus'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -151,6 +160,16 @@ class ASPP(nn.Module):
                 xp, x.shape)
             for i, r in enumerate(self.rates)
         ]
+        if self.mode == "concat_plus":
+            gap = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
+            branches = [
+                b + nn.Dense(self.n_out, dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name=f"c{i}_pool")(gap.astype(self.dtype))
+                for i, b in enumerate(branches)
+            ]
+            return jnp.concatenate(branches, axis=-1)
         if self.mode == "sum":
             out = branches[0]
             for b in branches[1:]:

@@ -30,7 +30,8 @@ def _deeplab(n_features, n_blocks, aspp_mode, scales, dtype,
     module = DeepLabV2(n_out=n_features, n_blocks=tuple(n_blocks),
                        atrous_rates=tuple(rates), aspp_mode=aspp_mode,
                        dtype=dtype)
-    out_ch = n_features * (len(rates) if aspp_mode == "concat" else 1)
+    out_ch = n_features * (len(rates) if aspp_mode.startswith("concat")
+                           else 1)
     return module, out_ch, tuple(scales)
 
 
@@ -105,6 +106,31 @@ def deeplabv2_vgg16_features_multiscale(pretrained=False,
 
 
 @configurable(allowlist=["deeplab_n_features", "scales"])
+def deeplabv2_resnet101_features_multiscaleplus(
+        pretrained=False, deeplab_n_features: int = REQUIRED,
+        scales=(1.0,), dtype=jnp.float32, **kw):
+    """ScalePlus reconstruction (ref deeplab_features.py:159-165; the
+    defining submodule file is absent upstream — see models/deeplab.py
+    ASPP 'concat_plus')."""
+    return _deeplab(deeplab_n_features, (3, 4, 23, 3), "concat_plus",
+                    scales, dtype)
+
+
+@configurable(allowlist=["deeplab_n_features", "scales",
+                         "segformer_variant"])
+def segformer_features_multiscale(
+        pretrained=False, deeplab_n_features: int = REQUIRED,
+        scales=(1.0,), segformer_variant: str = "b0", dtype=jnp.float32,
+        **kw):
+    """SegFormer EM backbone (ref em/module_multiscale_em.py:338-405
+    usage contract; see models/segformer.py)."""
+    from scaleprotoseg_tpu.models.segformer import SegFormer
+    module = SegFormer(n_out=deeplab_n_features,
+                       variant=segformer_variant, dtype=dtype)
+    return module, 4 * deeplab_n_features, tuple(scales)
+
+
+@configurable(allowlist=["deeplab_n_features", "scales"])
 def deeplabv3_resnet101_features_multiscale(
         pretrained=False, deeplab_n_features: int = REQUIRED,
         scales=(1.0,), dtype=jnp.float32, **kw):
@@ -134,6 +160,10 @@ base_architecture_to_features = {
     "deeplabv2_vgg16": deeplabv2_vgg16_features,
     "deeplabv2_vgg16_multiscale": deeplabv2_vgg16_features_multiscale,
     "deeplabv3_resnet101_multiscale": deeplabv3_resnet101_features_multiscale,
+    "deeplabv2_resnet101_multiscaleplus":
+        deeplabv2_resnet101_features_multiscaleplus,
+    "segformer": segformer_features_multiscale,
+    "segformer_multiscale": segformer_features_multiscale,
     "unet": unet_features,
     "unet_aspp": unet_aspp_features,
     **{name: _classic(name) for name in

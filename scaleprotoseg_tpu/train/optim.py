@@ -52,7 +52,10 @@ def label_of_path(path: Tuple[str, ...]) -> str:
         return "add_on"
     if path[0] == "scale_head":
         return "scale_head"
-    if "aspp" in joined:
+    if "aspp" in joined or "decode_head" in joined:
+        # decode_head: the SegFormer all-MLP head is the ASPP analog —
+        # warm-up trainable, 10x joint lr (ref
+        # em/module_multiscale_em.py:347-351,395-405).
         if path[-1] == "bias":
             return "aspp_b"
         return "aspp_w"
