@@ -5,11 +5,17 @@ Measures images/sec/chip for the flagship grouped ScaleProtoSeg model
 projection, bf16 compute) on full 1024x2048 inputs — the BASELINE.json
 north-star metric.  The reference publishes no throughput numbers
 (SURVEY.md §6); ``vs_baseline`` is measured throughput divided by an
-estimated single-A100 fp32 reference throughput of 7 img/s (~0.9 TFLOP
-per 1024x2048 OS-8 forward at ~35% A100 fp32 utilization) — the 3x
-target corresponds to vs_baseline >= 3.
+estimated single-A100 fp32 reference throughput of 7 img/s — derivation
+in BASELINE.md §"A100 baseline derivation"; the 3x target corresponds to
+vs_baseline >= 3.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+For auditability the line also carries achieved ``tflops_per_s`` (from
+XLA's compiled cost analysis of the measured executable — analytic FLOPs,
+not a hardware counter) and ``mfu`` vs the chip's dense bf16 peak, so the
+headline number can be checked against the roofline instead of only
+against the A100 assumption.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -17,7 +23,39 @@ from __future__ import annotations
 import json
 import time
 
-A100_BASELINE_IMG_PER_S = 7.0
+A100_BASELINE_IMG_PER_S = 7.0  # see BASELINE.md "A100 baseline derivation"
+
+# Dense bf16/fp16 peak TFLOP/s per chip by device kind (public specs).
+_PEAK_TFLOPS = {
+    "TPU v2": 45.0,
+    "TPU v3": 123.0,
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,       # v5e
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v6 lite": 918.0,       # v6e / Trillium
+    "TPU v6e": 918.0,
+    "TPU7x": 2307.0,
+}
+
+
+def _peak_tflops(device_kind: str):
+    for key, peak in sorted(_PEAK_TFLOPS.items(), key=lambda kv: -len(kv[0])):
+        if device_kind.lower().startswith(key.lower()):
+            return peak
+    return None
+
+
+def _compiled_flops(forward, variables, x):
+    """Analytic FLOPs of one executable call from XLA cost analysis."""
+    try:
+        cost = forward.lower(variables, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def _measure(forward, variables, x, iters: int) -> float:
@@ -57,19 +95,34 @@ def main():
 
     data = np.random.default_rng(0).random((4, 1024, 2048, 3))
     best = 0.0
+    best_x = None
     for batch in (2, 4):
         x = jnp.asarray(data[:batch], jnp.bfloat16)
         # two passes per shape: the hosted-TPU tunnel throughput varies
         # run-to-run; keep the best steady-state measurement
         for _ in range(2):
-            best = max(best, _measure(forward, variables, x, iters=16))
+            rate = _measure(forward, variables, x, iters=16)
+            if rate > best:
+                best, best_x = rate, x
 
-    print(json.dumps({
+    record = {
         "metric": "cityscapes_1024x2048_inference_throughput",
         "value": round(best, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / A100_BASELINE_IMG_PER_S, 3),
-    }))
+    }
+    flops = _compiled_flops(forward, variables, best_x)
+    kind = jax.devices()[0].device_kind
+    record["device_kind"] = kind
+    if flops:
+        per_image = flops / best_x.shape[0]
+        tflops_per_s = best * per_image / 1e12
+        record["tflops_per_image"] = round(per_image / 1e12, 4)
+        record["tflops_per_s"] = round(tflops_per_s, 2)
+        peak = _peak_tflops(kind)
+        if peak:
+            record["mfu"] = round(tflops_per_s / peak, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,148 @@
+"""Per-dataset training-step benchmark: ms/step + compile-time memory.
+
+Proves the large-vocabulary configs fit on the chip (VERDICT r1 item 4):
+for each shipped proto-phase config, builds the REAL config's model
+(gin-driven: backbone, prototype bank, MSC input pyramid), compiles the
+joint train step at the config's window/batch, reports ms/step and XLA's
+``memory_analysis`` (argument/output/temp/generated-code sizes).  The
+dense-KLD intermediates are the item under test at ADE (1800 protos,
+150 classes) and COCO (2054 protos, 182 classes, batch 10) shapes.
+
+Run on the real TPU chip:
+    python benchmarks/bench_configs.py [--configs a,b,...] [--iters N]
+
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+CONFIGS = ("scaleproto_cityscapes", "scaleproto_pascal", "scaleproto_ade",
+           "scaleproto_coco", "scaleproto_em",
+           "group_scaleproto_cityscapes", "group_scaleproto_coco",
+           "group_scaleproto_ade")
+
+
+def bench_config(name: str, iters: int = 8) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scaleprotoseg_tpu import cli_common, configlib
+    from scaleprotoseg_tpu.models.factory import construct_PPNet
+    from scaleprotoseg_tpu.profiling import time_fn_pipelined
+    from scaleprotoseg_tpu.train.optim import (label_params,
+                                               make_phase_optimizer,
+                                               partition_params,
+                                               phase_groups, poly_schedule)
+    from scaleprotoseg_tpu.train.runner import module_hparams
+    from scaleprotoseg_tpu.train.state import TrainState
+    from scaleprotoseg_tpu.train.steps import make_train_step
+
+    from scaleprotoseg_tpu.models.factory import construct_PPNet_Group
+
+    cli_common.load_config(name)
+    hp = cli_common.train_hparams()
+    # group_* configs bind construct_PPNet_Group; coco's proto phase is
+    # the reference's single-scale pipeline (scaleproto_coco.gin binds
+    # PatchClassificationModule / PPNet)
+    if configlib.query("construct_PPNet_Group", "prototype_shape", None):
+        variant = "group"
+    elif configlib.query("PPNetMultiScale", "num_scales", None):
+        variant = "multiscale"
+    else:
+        variant = "single"
+    mhp = module_hparams(variant)
+    if variant == "group":
+        model, spec = construct_PPNet_Group(pretrained=False,
+                                            dtype=jnp.bfloat16)
+    else:
+        model, spec = construct_PPNet(variant=variant, pretrained=False,
+                                      dtype=jnp.bfloat16)
+    window = configlib.query("PatchClassificationDataset", "window_size",
+                             (513, 513))
+    h, w = int(window[0]), int(window[1])
+    batch = int(hp["joint_batch_size"])
+
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, h, w, 3), jnp.bfloat16)),
+        jax.random.PRNGKey(0))
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    groups = phase_groups(variant, 1, mhp["hp"],
+                          joint_last=mhp["joint_last"],
+                          joint_no_proto=mhp["joint_no_proto"],
+                          has_scale_head=model.scale_head_type is not None)
+    trainable, _ = partition_params(variables["params"], set(groups))
+    tx = make_phase_optimizer(groups, label_params(trainable),
+                              schedule=poly_schedule(mhp["poly_lr_power"],
+                                                     30000))
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats"),
+                              tx.init(trainable))
+    step = make_train_step(model, spec, tx, set(groups), mhp["weights"],
+                           ignore_void=mhp["ignore_void_class"],
+                           project_group_simplex=(variant == "group"),
+                           donate=False)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((batch, h, w, 3)), jnp.bfloat16)
+    tgt = jnp.asarray(
+        rng.integers(0, spec.num_classes + 1, (batch, h, w)), jnp.int32)
+
+    record = {
+        "metric": f"{name}_joint_train_step",
+        "batch": batch, "window": [h, w],
+        "num_prototypes": spec.num_prototypes,
+        "num_classes": spec.num_classes,
+        "kld_weight": mhp["weights"].kld,
+        "msc_scales": list(model.msc_scales),
+    }
+    try:
+        compiled = jax.jit(step).lower(state, img, tgt).compile()
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            record["memory_mib"] = {
+                "arguments": round(mem.argument_size_in_bytes / 2**20, 1),
+                "outputs": round(mem.output_size_in_bytes / 2**20, 1),
+                "temps": round(mem.temp_size_in_bytes / 2**20, 1),
+                "code": round(mem.generated_code_size_in_bytes / 2**20, 1),
+            }
+            record["peak_estimate_gib"] = round(
+                (mem.argument_size_in_bytes + mem.output_size_in_bytes +
+                 mem.temp_size_in_bytes) / 2**30, 2)
+    except Exception as e:
+        record["memory_analysis_error"] = str(e)[:200]
+
+    def one(state, img, tgt):
+        _, metrics = step(state, img, tgt)
+        return metrics["loss"]
+
+    rate = time_fn_pipelined(one, state, img, tgt, iters=iters)
+    record["value"] = round(1e3 / rate, 2)
+    record["unit"] = "ms/step"
+    record["img_per_s"] = round(batch * rate, 2)
+    return record
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--configs", default=",".join(CONFIGS))
+    p.add_argument("--iters", type=int, default=8)
+    a = p.parse_args()
+    for name in a.configs.split(","):
+        try:
+            print(json.dumps(bench_config(name.strip(), iters=a.iters)),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"metric": name, "error": str(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
