@@ -46,7 +46,7 @@ def test_deeplab_vgg_and_v3_output_stride_8():
 def test_all_registered_architectures_construct():
     for name, factory in base_architecture_to_features.items():
         kwargs = {}
-        if "deeplab" in name:
+        if "deeplab" in name or "segformer" in name:
             kwargs["deeplab_n_features"] = 8
         if "unet" in name:
             kwargs["unet_n_features"] = 8
