@@ -80,7 +80,8 @@ def main():
 
     from __graft_entry__ import _flagship
 
-    model, _ = _flagship(tiny=False, grouped=True)
+    # fast_aspp: fused one-pass Pallas ASPP (inference-only fast path)
+    model, _ = _flagship(tiny=False, grouped=True, fast_aspp=True)
     # Throughput is weight-independent: materialize zero params from the
     # init shape tree (avoids a ~2 min on-device init compile).
     shapes = jax.eval_shape(
@@ -114,6 +115,12 @@ def main():
     flops = _compiled_flops(forward, variables, best_x)
     kind = jax.devices()[0].device_kind
     record["device_kind"] = kind
+    if flops:
+        # XLA's cost analysis does not see inside the fused Pallas ASPP
+        # custom call; add its analytic FLOPs (9 taps x C->F per rate)
+        # so tflops/mfu stay comparable with the pure-XLA build.
+        hp, wp = jax.eval_shape(forward, variables, best_x).shape[1:3]
+        flops += best_x.shape[0] * hp * wp * 9 * 2048 * 64 * 4 * 2
     if flops:
         per_image = flops / best_x.shape[0]
         tflops_per_s = best * per_image / 1e12

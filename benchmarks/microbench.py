@@ -63,6 +63,24 @@ def main():
     bench_module("aspp", ASPP(64, (6, 12, 18, 24), "concat",
                               dtype=jnp.bfloat16), h)
 
+    # fused one-pass Pallas ASPP (inference fast path)
+    from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp
+    aspp_mod = ASPP(64, (6, 12, 18, 24), "concat", dtype=jnp.bfloat16)
+    av = aspp_mod.init(jax.random.PRNGKey(0), h)
+    aw = [av["params"][f"c{i}"]["kernel"] for i in range(4)]
+    ab = [av["params"][f"c{i}"]["bias"] for i in range(4)]
+    fn = jax.jit(lambda x: jnp.sum(
+        fused_aspp(x, aw, ab).astype(jnp.float32)))
+    rate = time_fn_pipelined(fn, h, iters=20)
+    aspp_flops = (h.shape[0] * h.shape[1] * h.shape[2]
+                  * 9 * h.shape[3] * 64 * 4 * 2)
+    ms = 1e3 / rate
+    results["aspp_pallas_fused"] = {
+        "ms": round(ms, 2),
+        "tflops_per_s": round(aspp_flops / (ms / 1e3) / 1e12, 2),
+    }
+    print("aspp_pallas_fused", results["aspp_pallas_fused"], flush=True)
+
     # prototype head: XLA vs fused Pallas at the real grid
     spec = ProtoSpec.equal_allocation(228, 64, 19, 4, num_groups=3)
     feats = jnp.asarray(rng.random((B, 129, 257, 256)), jnp.bfloat16)

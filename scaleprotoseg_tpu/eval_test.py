@@ -59,7 +59,7 @@ def run_evaluation(model_name: str, training_phase: str,
     log = create_logger(os.path.join(out_dir, "eval.log"))
     log(f"Loading model from {checkpoint}")
     model, spec, variables = load_model(model_path, checkpoint,
-                                        dtype=jnp.bfloat16)
+                                        dtype=jnp.bfloat16, fast=True)
 
     dataset_path = data_root or settings.data_path(data_type)
     img_dir = os.path.join(dataset_path, f"img_with_margin_{margin}",

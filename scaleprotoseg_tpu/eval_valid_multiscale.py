@@ -82,7 +82,7 @@ def run_evaluation(model_name: str, training_phase: str,
     import jax.numpy as jnp
 
     model, spec, variables = load_model(model_path, checkpoint,
-                                        dtype=jnp.bfloat16)
+                                        dtype=jnp.bfloat16, fast=True)
     dataset_path = data_root or settings.data_path(data_type)
     img_dir = os.path.join(dataset_path, f"img_with_margin_{margin}", "val")
     ann_dir = os.path.join(dataset_path, "annotations", "val")

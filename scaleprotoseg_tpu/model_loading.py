@@ -35,8 +35,12 @@ def resolve_checkpoint(model_path: str, training_phase: str) -> str:
 
 
 def load_model(model_path: str, checkpoint_path: str,
-               dtype=jnp.float32) -> Tuple[PPNet, ProtoSpec, Dict]:
-    """(model, spec, variables) from a run dir's config + checkpoint."""
+               dtype=jnp.float32,
+               fast: bool = False) -> Tuple[PPNet, ProtoSpec, Dict]:
+    """(model, spec, variables) from a run dir's config + checkpoint.
+
+    ``fast=True`` enables the inference-only fused Pallas ASPP on
+    DeepLabV2 backbones (no VJP: reporting/eval call sites only)."""
     params, batch_stats, meta = load_checkpoint(checkpoint_path)
     spec = spec_from_meta(meta["spec"])
     variant = (meta.get("extra") or {}).get("variant")
@@ -67,6 +71,10 @@ def load_model(model_path: str, checkpoint_path: str,
         dtype=dtype)
     if built_spec != spec:
         model = dataclasses.replace(model, spec=spec)
+    if fast and hasattr(model.backbone, "fast_aspp"):
+        model = dataclasses.replace(
+            model,
+            backbone=dataclasses.replace(model.backbone, fast_aspp=True))
 
     variables = {"params": jax.tree.map(jnp.asarray, params)}
     if batch_stats:

@@ -1,20 +1,34 @@
 """One-pass fused ASPP kernel (Pallas TPU).
 
 The concat-ASPP head is the flagship model's HBM-bandwidth hotspot: four
-3x3 atrous convs (rates 6/12/18/24, 2048 -> 64 each) each re-read the
-entire (129, 257, 2048) bf16 feature map (~136 MB), and XLA executes
-them as four separate bandwidth-bound convolutions (~14.5 ms measured on
-v5e; see benchmarks/microbench.py).
+3x3 atrous convs (rates 6/12/18/24, 2048 -> 64 each) over the same
+(129, 257, 2048) bf16 feature map (~136 MB).  XLA's best formulation
+(the shifted-matmul ASPP in ``models/deeplab.py``) re-reads that map 36
+times — once per (rate, tap) — and measures ~8 ms on TPU v5e; the
+dilated-conv lowering is ~14.5 ms (benchmarks/microbench.py).
 
-This kernel reads the input once: the grid walks (row-tile, channel
-chunk) steps; each step DMAs one haloed input block HBM -> VMEM (halo =
-max rate, so every branch's taps are resident), computes all four
-branches' nine taps as MXU matmuls out of VMEM, and accumulates the
-concatenated (R, W, 4*F) output in fp32 scratch across channel chunks.
-Overlapping (haloed) windows are not expressible with BlockSpec tiling,
-hence the manual async copy.
+This kernel reads the input once and runs at ~4.9 ms (1.6x XLA) by
+keeping ALL data movement on the cheap side of the matmul:
+
+- grid walks (row-tile, channel-chunk); each step DMAs one haloed bf16
+  input block HBM -> VMEM, double-buffered so the copy hides behind the
+  previous step's compute.  Overlapping (haloed) windows are not
+  expressible with BlockSpec tiling, hence the manual async copy.
+- ROW taps are free: rows live on the untiled dimension of the VMEM
+  block, so the three row offsets per rate are plain slices of the halo.
+- COLUMN taps are realigned on the matmul *output*: each (rate, row-tap)
+  does ONE bf16 MXU matmul (chunk_c -> 3F, the three column taps packed
+  along N), the three row-taps are summed per column tap, and the sum is
+  shifted with a single ``pltpu.roll`` over (tile, W, F) fp32 — 32x
+  fewer bytes than rolling the 2048-channel input (the V1 kernel did
+  the latter, paying an fp32 cast on top because Mosaic cannot roll
+  bf16 along the sublane axis, and lost to XLA at ~9.8 ms).
+- per-rate fp32 accumulation across channel chunks in VMEM scratch.
 
 Weights: per-rate (3, 3, C, F) kernels; biases per-rate (F,).
+
+Inference-only: no custom VJP is defined — training differentiates the
+XLA shifted-matmul form (``models/deeplab.py`` ASPPBranch).
 """
 
 from __future__ import annotations
@@ -29,12 +43,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_chunk(c: int, chunk_c: int) -> int:
+    if c % chunk_c == 0:
+        return chunk_c
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if cand <= chunk_c and c % cand == 0:
+            return cand
+    return c
+
+
 def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
                biases: Sequence[jax.Array],
                rates: Tuple[int, ...] = (6, 12, 18, 24),
-               tile_rows: int = 16, chunk_c: int = 128,
+               tile_rows: int = 8, chunk_c: int = 512,
                interpret: bool = False) -> jax.Array:
-    """Concat-ASPP: x (B, H, W, C) -> (B, H, W, len(rates)*F) bf16\n    (fp32 accumulation in VMEM scratch)."""
+    """Concat-ASPP: x (B, H, W, C) -> (B, H, W, len(rates)*F) bf16
+    (fp32 accumulation in VMEM scratch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -42,55 +66,75 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
     n_rates = len(rates)
     f = weights[0].shape[-1]
     halo = max(rates)
-    assert c % chunk_c == 0, (c, chunk_c)
+    chunk_c = _pick_chunk(c, chunk_c)
     n_chunks = c // chunk_c
     h_pad = _round_up(h, tile_rows)
     n_row_tiles = h_pad // tile_rows
-    # Width lives on the sublane axis: VMEM slicing there must be
-    # 8-aligned, so column taps are applied with pltpu.roll on the full
-    # (8-aligned) padded width and the halo region is discarded at the end.
     w8 = _round_up(w + 2 * halo, 8)
     tile_in_rows = tile_rows + 2 * halo
     out_f = n_rates * f
 
     xp = jnp.pad(x, ((0, 0), (halo, halo + h_pad - h),
                      (halo, w8 - w - halo), (0, 0)))
-
-    wstack = jnp.stack([wgt.astype(jnp.bfloat16) for wgt in weights])
-    bias = jnp.concatenate([jnp.asarray(bb, jnp.float32)
-                            for bb in biases])
+    # Wcat[rate, di]: (C, 3F) with the three column taps along N.
+    wstack = jnp.stack([
+        jnp.stack([jnp.concatenate(
+            [weights[ri][di, dj].astype(jnp.bfloat16) for dj in range(3)],
+            axis=-1) for di in range(3)])
+        for ri in range(n_rates)])  # (R, 3, C, 3F)
+    bias = jnp.concatenate([jnp.asarray(bb, jnp.float32) for bb in biases])
 
     def kernel(x_hbm, w_ref, b_ref, out_ref, acc, xbuf, sem):
         i = pl.program_id(0)
         ci = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            x_hbm.at[0, pl.ds(i * tile_rows, tile_in_rows), :,
-                     pl.ds(ci * chunk_c, chunk_c)],
-            xbuf, sem)
-        dma.start()
+        nc = pl.num_programs(1)
+        li = i * nc + ci
+        total_steps = pl.num_programs(0) * nc
+
+        def dma_for(li2):
+            i2 = li2 // nc
+            ci2 = li2 % nc
+            slot = jax.lax.rem(li2, 2)
+            return pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(i2 * tile_rows, tile_in_rows), :,
+                         pl.ds(ci2 * chunk_c, chunk_c)],
+                xbuf.at[slot], sem.at[slot])
+
+        @pl.when(li == 0)
+        def _():
+            dma_for(0).start()
+
+        @pl.when(li + 1 < total_steps)
+        def _():
+            dma_for(li + 1).start()
 
         @pl.when(ci == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        dma.wait()
-        # NOTE: Mosaic cannot roll bf16 along the sublane axis (compile
-        # crash); cast to fp32 first.
-        xt = xbuf[:].astype(jnp.float32)   # (tile_in_rows, w8, chunk_c)
+        dma_for(li).wait()
+        slot = jax.lax.rem(li, 2)
         for ri, rate in enumerate(rates):
+            ps = []
             for di in range(3):
-                rs = halo + (di - 1) * rate      # row offset: untiled dim
-                rows = xt[rs:rs + tile_rows]
-                for dj in range(3):
-                    cs = halo + (dj - 1) * rate  # col shift via roll
-                    xs = pltpu.roll(rows, (w8 - cs) % w8, 1)
-                    wk = w_ref[ri, di, dj]       # (chunk_c, F)
-                    acc[:, :, ri * f:(ri + 1) * f] += jnp.dot(
-                        xs.reshape(tile_rows * w8, chunk_c), wk,
-                        preferred_element_type=jnp.float32,
-                    ).reshape(tile_rows, w8, f)
+                rs = halo + (di - 1) * rate
+                rows = xbuf[slot, rs:rs + tile_rows]
+                ps.append(jnp.dot(
+                    rows.reshape(tile_rows * w8, chunk_c), w_ref[ri, di],
+                    preferred_element_type=jnp.float32,
+                ).reshape(tile_rows, w8, 3 * f))
+            total = None
+            for dj in range(3):
+                s = (ps[0][:, :, dj * f:(dj + 1) * f]
+                     + ps[1][:, :, dj * f:(dj + 1) * f]
+                     + ps[2][:, :, dj * f:(dj + 1) * f])
+                o = (dj - 1) * rate
+                if o:
+                    s = pltpu.roll(s, (w8 - o) % w8, 1)
+                total = s if total is None else total + s
+            acc[:, :, ri * f:(ri + 1) * f] += total
 
-        @pl.when(ci == pl.num_programs(1) - 1)
+        @pl.when(ci == nc - 1)
         def _():
             out_ref[0] = (acc[:] + b_ref[:]).astype(out_ref.dtype)
 
@@ -99,9 +143,9 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # x stays in HBM
-            pl.BlockSpec((n_rates, 3, 3, chunk_c, f),
-                         lambda i, j: (0, 0, 0, j, 0),
+            pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
+            pl.BlockSpec((n_rates, 3, chunk_c, 3 * f),
+                         lambda i, j: (0, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((out_f,), lambda i, j: (0,),
                          memory_space=pltpu.VMEM),
@@ -113,13 +157,13 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
                                        jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((tile_rows, w8, out_f), jnp.float32),
-            pltpu.VMEM((tile_in_rows, w8, chunk_c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tile_in_rows, w8, chunk_c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
     results = [call(xp[i:i + 1], wstack, bias) for i in range(b)]
     y = jnp.concatenate(results, axis=0) if b > 1 else results[0]
-    return y[:, :h, :w]
+    return y[:, :h, halo:halo + w]

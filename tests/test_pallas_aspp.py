@@ -51,3 +51,31 @@ def test_pallas_fused_aspp_interpret(rng):
                      ).astype(np.float32)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_fused_aspp_batch_and_chunk(rng):
+    """Batch>1 and a channel count that needs the chunk divisor fallback."""
+    from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp
+    rates = (2, 4)
+    x = jnp.asarray(rng.random((2, 9, 11, 96)), jnp.float32)
+    weights = [jnp.asarray(rng.random((3, 3, 96, 16)) * 0.05, jnp.float32)
+               for _ in rates]
+    biases = [jnp.asarray(rng.random((16,)), jnp.float32) for _ in rates]
+    ref = np.asarray(_conv_ref(x, weights, biases, rates))
+    got = np.asarray(fused_aspp(x, weights, biases, rates=rates,
+                                tile_rows=4, interpret=True)
+                     ).astype(np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_aspp_fast_flag_falls_back_off_tpu(rng):
+    """fast=True must be a no-op on CPU (inference kernel is TPU-only):
+    identical params, identical outputs."""
+    rates = (2, 4, 6, 8)
+    x = jnp.asarray(rng.random((1, 13, 17, 32)), jnp.float32)
+    slow = ASPP(8, rates, "concat")
+    fast = ASPP(8, rates, "concat", fast=True)
+    variables = slow.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(np.asarray(slow.apply(variables, x)),
+                                  np.asarray(fast.apply(variables, x)))
