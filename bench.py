@@ -116,12 +116,17 @@ def main():
     kind = jax.devices()[0].device_kind
     record["device_kind"] = kind
     if flops:
-        # XLA's cost analysis does not see inside the fused Pallas ASPP
-        # custom call; add its analytic FLOPs (9 taps x C->F per rate)
-        # so tflops/mfu stay comparable with the pure-XLA build.
-        hp, wp = jax.eval_shape(forward, variables, best_x).shape[1:3]
-        flops += best_x.shape[0] * hp * wp * 9 * 2048 * 64 * 4 * 2
-    if flops:
+        if jax.default_backend() == "tpu":
+            # XLA's cost analysis does not see inside the fused Pallas
+            # ASPP custom call (active on TPU only — off-TPU the module
+            # falls back to XLA and the FLOPs are already counted); add
+            # its analytic FLOPs (9 taps x C -> n_out per rate) so
+            # tflops/mfu stay comparable with the pure-XLA build.
+            hp, wp = jax.eval_shape(forward, variables, best_x).shape[1:3]
+            bb = model.backbone
+            c_in = 64 * 2 ** 5  # layer5 output width of the dilated ResNet
+            flops += (best_x.shape[0] * hp * wp * 9 * c_in * bb.n_out
+                      * len(bb.atrous_rates) * 2)
         per_image = flops / best_x.shape[0]
         tflops_per_s = best * per_image / 1e12
         record["tflops_per_image"] = round(per_image / 1e12, 4)

@@ -46,7 +46,8 @@ def run_evaluation(model_name: str, training_phase: str,
                    batch_size: int = 2, pascal: bool = False,
                    margin: int = 0, limit: Optional[int] = None,
                    data_root: Optional[str] = None,
-                   results_root: Optional[str] = None) -> str:
+                   results_root: Optional[str] = None,
+                   fast: bool = True) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +60,7 @@ def run_evaluation(model_name: str, training_phase: str,
     log = create_logger(os.path.join(out_dir, "eval.log"))
     log(f"Loading model from {checkpoint}")
     model, spec, variables = load_model(model_path, checkpoint,
-                                        dtype=jnp.bfloat16, fast=True)
+                                        dtype=jnp.bfloat16, fast=fast)
 
     dataset_path = data_root or settings.data_path(data_type)
     img_dir = os.path.join(dataset_path, f"img_with_margin_{margin}",

@@ -70,7 +70,8 @@ def run_evaluation(model_name: str, training_phase: str,
                    batch_size: int = 2, data_type: str = "cityscapes",
                    margin: int = 0, limit: Optional[int] = None,
                    data_root: Optional[str] = None,
-                   results_root: Optional[str] = None) -> dict:
+                   results_root: Optional[str] = None,
+                   fast: bool = True) -> dict:
     model_path = os.path.join(results_root or settings.results_dir(),
                               model_name)
     checkpoint = resolve_checkpoint(model_path, training_phase)
@@ -82,7 +83,7 @@ def run_evaluation(model_name: str, training_phase: str,
     import jax.numpy as jnp
 
     model, spec, variables = load_model(model_path, checkpoint,
-                                        dtype=jnp.bfloat16, fast=True)
+                                        dtype=jnp.bfloat16, fast=fast)
     dataset_path = data_root or settings.data_path(data_type)
     img_dir = os.path.join(dataset_path, f"img_with_margin_{margin}", "val")
     ann_dir = os.path.join(dataset_path, "annotations", "val")

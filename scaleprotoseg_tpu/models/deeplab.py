@@ -156,9 +156,14 @@ class ASPP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # SCALEPROTOSEG_FORCE_FAST_ASPP=interpret runs the fused kernel in
+        # Pallas interpret mode off-TPU (test hook for this branch).
+        import os
+        force = os.environ.get("SCALEPROTOSEG_FORCE_FAST_ASPP", "")
         if (self.fast and self.mode in ("sum", "concat")
+                and self.dtype == jnp.bfloat16  # kernel computes in bf16
                 and not self.is_initializing()
-                and jax.default_backend() == "tpu"):
+                and (jax.default_backend() == "tpu" or force)):
             from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp
             params = [
                 ASPPBranch(self.n_out, r, dtype=self.dtype, name=f"c{i}")(
@@ -167,7 +172,8 @@ class ASPP(nn.Module):
             ]
             y = fused_aspp(x.astype(jnp.bfloat16),
                            [k for k, _ in params], [b for _, b in params],
-                           rates=tuple(self.rates))
+                           rates=tuple(self.rates),
+                           interpret=(force == "interpret"))
             if self.mode == "sum":
                 y = y.astype(jnp.float32).reshape(
                     *y.shape[:-1], len(self.rates), self.n_out).sum(-2)

@@ -44,10 +44,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_chunk(c: int, chunk_c: int) -> int:
-    if c % chunk_c == 0:
-        return chunk_c
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if cand <= chunk_c and c % cand == 0:
+    """Largest divisor of ``c`` that is <= the requested chunk cap (so
+    the VMEM budget is never exceeded for awkward channel counts)."""
+    for cand in range(min(c, chunk_c), 0, -1):
+        if c % cand == 0:
             return cand
     return c
 

@@ -70,8 +70,10 @@ def test_pallas_fused_aspp_batch_and_chunk(rng):
 
 
 def test_aspp_fast_flag_falls_back_off_tpu(rng):
-    """fast=True must be a no-op on CPU (inference kernel is TPU-only):
+    """fast=True must be a no-op off-TPU (inference kernel is TPU-only):
     identical params, identical outputs."""
+    if jax.default_backend() == "tpu":  # conftest pins cpu; be explicit
+        pytest.skip("fallback branch only exists off-TPU")
     rates = (2, 4, 6, 8)
     x = jnp.asarray(rng.random((1, 13, 17, 32)), jnp.float32)
     slow = ASPP(8, rates, "concat")
@@ -79,3 +81,19 @@ def test_aspp_fast_flag_falls_back_off_tpu(rng):
     variables = slow.init(jax.random.PRNGKey(0), x)
     np.testing.assert_array_equal(np.asarray(slow.apply(variables, x)),
                                   np.asarray(fast.apply(variables, x)))
+
+
+@pytest.mark.parametrize("mode", ["concat", "sum"])
+def test_aspp_fast_path_module_interpret(rng, mode, monkeypatch):
+    """Drive the module's fast branch (incl. the sum-mode reshape) off-TPU
+    via the SCALEPROTOSEG_FORCE_FAST_ASPP=interpret hook."""
+    monkeypatch.setenv("SCALEPROTOSEG_FORCE_FAST_ASPP", "interpret")
+    rates = (2, 4, 6, 8)
+    x = jnp.asarray(rng.random((1, 13, 17, 32)), jnp.bfloat16)
+    slow = ASPP(8, rates, mode, dtype=jnp.bfloat16)
+    fast = ASPP(8, rates, mode, dtype=jnp.bfloat16, fast=True)
+    variables = slow.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(slow.apply(variables, x), np.float32)
+    b = np.asarray(fast.apply(variables, x), np.float32)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
