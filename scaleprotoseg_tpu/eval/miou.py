@@ -58,24 +58,65 @@ class SegEvaluator:
             t = targets.astype(jnp.int32) - 1
             valid = t >= 0
             t_safe = jnp.clip(t, 0, num_classes - 1)
-            flat = (t_safe * num_classes + pred).reshape(-1)
-            weights = valid.reshape(-1).astype(jnp.float32)
-            cm = jnp.zeros((num_classes * num_classes,), jnp.float32)
-            cm = cm.at[flat].add(weights)
-            return cm.reshape(num_classes, num_classes)
+            # Confusion matrix as a one-hot einsum, scanned over pixel
+            # chunks: a flat scatter-add costs ~18 ms/image on TPU (the
+            # scatter lowers to a serial loop) while the MXU does the
+            # same contraction in <0.1 ms; chunking caps the one-hot
+            # working set for large-C datasets (ADE 150 / COCO 182).
+            # Exact: 0/1 in bf16, fp32 accumulation, chunk counts < 2^24.
+            chunk = 1 << 19
+            flat_t = t_safe.reshape(-1)
+            flat_p = pred.reshape(-1)
+            w = valid.reshape(-1).astype(jnp.bfloat16)
+            pad = (-flat_t.size) % chunk
+            if pad:
+                flat_t = jnp.pad(flat_t, (0, pad))
+                flat_p = jnp.pad(flat_p, (0, pad))
+                w = jnp.pad(w, (0, pad))
+            k = flat_t.size // chunk
+
+            def body(cm, args):
+                ct, cp, cw = args
+                oh_t = jax.nn.one_hot(ct, num_classes,
+                                      dtype=jnp.bfloat16) * cw[:, None]
+                oh_p = jax.nn.one_hot(cp, num_classes, dtype=jnp.bfloat16)
+                return cm + jnp.einsum(
+                    "nc,nd->cd", oh_t, oh_p,
+                    preferred_element_type=jnp.float32), None
+
+            cm0 = jnp.zeros((num_classes, num_classes), jnp.float32)
+            cm, _ = jax.lax.scan(
+                body, cm0, (flat_t.reshape(k, chunk),
+                            flat_p.reshape(k, chunk),
+                            w.reshape(k, chunk)))
+            return cm
 
         self._step = step
         self.cm = np.zeros((num_classes, num_classes), np.float64)
+        # Per-batch (C, C) matrices are kept on device and fetched in
+        # bulk: a device_get per batch would serialize the eval loop on
+        # the host round-trip (measured ~15 ms/image through the hosted
+        # tunnel).  Flushing every 64 batches bounds device memory while
+        # keeping the exact float64 accumulation host-side.
+        self._pending = []
+
+    def _flush(self):
+        if self._pending:
+            for cm in jax.device_get(self._pending):
+                self.cm += np.asarray(cm, np.float64)
+            self._pending = []
 
     def update(self, variables, images, targets):
         images, targets = jnp.asarray(images), jnp.asarray(targets)
         if self.mesh is not None and self.mesh.devices.size > 1:
             from scaleprotoseg_tpu.parallel import shard_batch
             images, targets = shard_batch((images, targets), self.mesh)
-        self.cm += np.asarray(
-            jax.device_get(self._step(variables, images, targets)))
+        self._pending.append(self._step(variables, images, targets))
+        if len(self._pending) >= 64:
+            self._flush()
 
     def result(self) -> Dict:
+        self._flush()
         iou, miou, acc = iou_from_confusion(self.cm)
         return {"per_class_iou": iou.tolist(), "mean_iou": miou,
                 "pixel_accuracy": acc}

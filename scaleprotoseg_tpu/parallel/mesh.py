@@ -52,7 +52,12 @@ def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     height-sharded makes XLA SPMD partition every convolution with
     automatic halo exchanges over ICI — no manual collectives
     (SURVEY.md §5 "long-context" equivalent: spatial partitioning of the
-    conv stack)."""
+    conv stack).
+
+    NOTE: use the XLA ASPP path (``fast_aspp=False``, the default) with
+    spatial sharding — the fused Pallas ASPP is an opaque custom call to
+    GSPMD, so XLA would insert a full all-gather of the 2048-channel
+    feature map around it instead of halo exchanges."""
     return NamedSharding(mesh, P(None, axis_name))
 
 
