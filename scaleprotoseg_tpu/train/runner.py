@@ -189,6 +189,16 @@ class PhaseTrainer:
         val_every = val_every_steps or max(len(train_loader), 1)
         validations_without_improvement = 0
         stop = False
+        # Metric scalars stay on device and are fetched in bulk: a
+        # device_get per step would serialize training on the host
+        # round-trip (the step itself keeps dispatching asynchronously).
+        pending = []
+
+        def flush_pending():
+            nonlocal pending
+            for m in jax.device_get(pending):
+                acc_train.update(m)
+            pending = []
 
         while steps < max_steps and not stop:
             for image, target in train_loader:
@@ -197,10 +207,13 @@ class PhaseTrainer:
                 batch = shard_batch((jnp.asarray(image),
                                      jnp.asarray(target)), self.mesh)
                 state, metrics = step_fn(state, *batch)
-                acc_train.update(jax.device_get(metrics))
+                pending.append(metrics)
+                if len(pending) >= 32:
+                    flush_pending()
                 steps += 1
 
                 if steps % val_every == 0 or steps >= max_steps:
+                    flush_pending()
                     val_summary = self._validate(state, eval_fn, val_loader,
                                                  limit_val_batches)
                     train_summary = acc_train.summary()
@@ -247,12 +260,19 @@ class PhaseTrainer:
     def _validate(self, state, eval_fn, val_loader,
                   limit_val_batches=None) -> Dict[str, float]:
         acc = MetricAccumulator()
+        pending = []
         for i, (image, target) in enumerate(val_loader):
             if limit_val_batches is not None and i >= limit_val_batches:
                 break
             batch = shard_batch((jnp.asarray(image), jnp.asarray(target)),
                                 self.mesh)
-            acc.update(jax.device_get(eval_fn(state, *batch)))
+            pending.append(eval_fn(state, *batch))
+            if len(pending) >= 64:
+                for m in jax.device_get(pending):
+                    acc.update(m)
+                pending = []
+        for m in jax.device_get(pending):
+            acc.update(m)
         return acc.summary()
 
     def _save(self, state: TrainState, name: str):
