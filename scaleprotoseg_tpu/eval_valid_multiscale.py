@@ -115,7 +115,7 @@ def run_evaluation(model_name: str, training_phase: str,
         evaluator.update(variables, images.astype(np.float32), anns)
         pending_imgs, pending_anns = [], []
 
-    for name in files:
+    def load_one(name):
         img = np.load(os.path.join(img_dir, name + ".npy"))
         if margin:
             img = img[margin:-margin, margin:-margin]
@@ -123,13 +123,31 @@ def run_evaluation(model_name: str, training_phase: str,
         if ann.ndim == 3:
             ann = ann[..., 0]
         ann = convert_targets(ann, data_type).astype(np.int32)
-        x = _prepare_image(img, ann.shape, data_type)
-        if pending_shape not in (None, (x.shape, ann.shape)) or \
-                len(pending_imgs) >= batch_size:
-            flush()
-        pending_shape = (x.shape, ann.shape)
-        pending_imgs.append(x)
-        pending_anns.append(ann)
+        return _prepare_image(img, ann.shape, data_type), ann
+
+    # bounded prefetch of the disk loads/ID conversion so host IO
+    # overlaps the (asynchronously dispatched) device evaluation without
+    # loading the whole split ahead (full-res fp32 images are ~25 MB)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        window = deque()
+        it = iter(files)
+        for name in it:
+            window.append(pool.submit(load_one, name))
+            if len(window) >= 4:
+                break
+        while window:
+            x, ann = window.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                window.append(pool.submit(load_one, nxt))
+            if pending_shape not in (None, (x.shape, ann.shape)) or \
+                    len(pending_imgs) >= batch_size:
+                flush()
+            pending_shape = (x.shape, ann.shape)
+            pending_imgs.append(x)
+            pending_anns.append(ann)
     flush()
 
     try:

@@ -88,3 +88,40 @@ def test_cityscapes_train_id_to_source_lut():
     assert lut_p[0] == 255   # void -> 255
     assert lut_p[1] == 0     # background
     assert lut_p[21] == 20
+
+
+def test_confusion_matrix_einsum_exact():
+    """The chunked one-hot einsum confusion update must equal the numpy
+    bincount reference exactly (0/1 bf16 one-hots, fp32 accumulation)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scaleprotoseg_tpu.eval.miou import SegEvaluator
+    from scaleprotoseg_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.default_rng(7)
+    C = 7
+    hp, wp = 13, 17
+    H, W = 64, 96
+    logits_np = rng.standard_normal((3, hp, wp, C)).astype(np.float32)
+
+    class Dummy:
+        def apply(self, variables, images, train):
+            class Out:
+                logits = jnp.asarray(logits_np)
+            return Out()
+
+    ev = SegEvaluator(Dummy(), C)
+    targets = rng.integers(0, C + 1, (3, H, W)).astype(np.int32)
+    images = np.zeros((3, H, W, 3), np.float32)
+    ev.update({}, images, targets)
+    ev._flush()
+    got = ev.cm.copy()
+
+    pred = np.asarray(jnp.argmax(
+        resize_bilinear(jnp.asarray(logits_np), H, W), axis=-1))
+    t = targets - 1
+    valid = t >= 0
+    ref = np.bincount(
+        (t[valid] * C + pred[valid]).ravel(), minlength=C * C
+    ).reshape(C, C).astype(np.float64)
+    np.testing.assert_array_equal(got, ref)
