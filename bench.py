@@ -138,4 +138,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the hosted-TPU tunnel's compile helper occasionally drops a request
+    # (HTTP 500); one retry avoids recording a spurious bench failure
+    try:
+        main()
+    except Exception:
+        import time as _t
+        import traceback
+        traceback.print_exc()
+        _t.sleep(20)
+        main()

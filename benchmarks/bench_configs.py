@@ -127,6 +127,15 @@ def bench_config(name: str, iters: int = 8) -> dict:
     record["value"] = round(1e3 / rate, 2)
     record["unit"] = "ms/step"
     record["img_per_s"] = round(batch * rate, 2)
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops:
+            record["tflops_per_s"] = round(flops * rate / 1e12, 1)
+    except Exception:
+        pass
     return record
 
 
