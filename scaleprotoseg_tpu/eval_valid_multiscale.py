@@ -49,9 +49,17 @@ def class_names(data_type: str, num_classes: int) -> List[str]:
     return [str(i) for i in range(num_classes)]
 
 
-def _prepare_image(img: np.ndarray, ann_shape, data_type: str) -> np.ndarray:
+def _prepare_image(img: np.ndarray, ann_shape, data_type: str,
+                   shape_multiple: Optional[int] = None) -> np.ndarray:
     """Normalize + dataset-specific eval resizing
-    (ref eval_valid_multiscale.py:185-214)."""
+    (ref eval_valid_multiscale.py:185-214).
+
+    ``shape_multiple``: optionally round the (already resized) ADE target
+    dims to a multiple — each distinct eval shape costs one XLA compile
+    of the full forward, and ADE's aspect-preserving short-side-512
+    resize yields many; rounding to e.g. 64 collapses them to a handful
+    at a sub-percent deviation from the reference's exact protocol.
+    Default None = exact reference sizing."""
     import cv2
 
     x = img.astype(np.float32) / 255.0
@@ -61,8 +69,13 @@ def _prepare_image(img: np.ndarray, ann_shape, data_type: str) -> np.ndarray:
     elif data_type == "ade":
         h, w = x.shape[:2]
         s = 512 / min(h, w)
-        x = cv2.resize(x, (int(round(w * s)), int(round(h * s))),
-                       interpolation=cv2.INTER_LINEAR)
+        tw, th = int(round(w * s)), int(round(h * s))
+        if shape_multiple:
+            tw = max(shape_multiple, round(tw / shape_multiple)
+                     * shape_multiple)
+            th = max(shape_multiple, round(th / shape_multiple)
+                     * shape_multiple)
+        x = cv2.resize(x, (tw, th), interpolation=cv2.INTER_LINEAR)
     return x
 
 
@@ -71,7 +84,8 @@ def run_evaluation(model_name: str, training_phase: str,
                    margin: int = 0, limit: Optional[int] = None,
                    data_root: Optional[str] = None,
                    results_root: Optional[str] = None,
-                   fast: bool = True) -> dict:
+                   fast: bool = True,
+                   shape_multiple: Optional[int] = None) -> dict:
     model_path = os.path.join(results_root or settings.results_dir(),
                               model_name)
     checkpoint = resolve_checkpoint(model_path, training_phase)
@@ -123,7 +137,8 @@ def run_evaluation(model_name: str, training_phase: str,
         if ann.ndim == 3:
             ann = ann[..., 0]
         ann = convert_targets(ann, data_type).astype(np.int32)
-        return _prepare_image(img, ann.shape, data_type), ann
+        return _prepare_image(img, ann.shape, data_type,
+                              shape_multiple), ann
 
     # bounded prefetch of the disk loads/ID conversion so host IO
     # overlaps the (asynchronously dispatched) device evaluation without
