@@ -31,16 +31,12 @@ def main():
     B, H, W = 1, 1024, 2048
     results = {}
 
-    def bench_module(name, module, x, iters=20):
-        variables = module.init(jax.random.PRNGKey(0), x)
+    def bench_fn(name, fn, *args, flops=None, iters=20):
         # scalar on-device reduce + pipelined timing: the tunnel's
         # per-call round-trip (~30 ms) and device->host transfers would
         # otherwise dominate
-        fn = jax.jit(lambda v, x: jnp.sum(
-            module.apply(v, x).astype(jnp.float32)))
-        rate = time_fn_pipelined(fn, variables, x, iters=iters)
-        flops = flops_estimate(lambda v, xx: module.apply(v, xx),
-                               variables, x)
+        g = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+        rate = time_fn_pipelined(g, *args, iters=iters)
         ms = 1e3 / rate
         results[name] = {
             "ms": round(ms, 2),
@@ -48,6 +44,13 @@ def main():
             if flops else None,
         }
         print(name, results[name], flush=True)
+
+    def bench_module(name, module, x, iters=20):
+        variables = module.init(jax.random.PRNGKey(0), x)
+        flops = flops_estimate(lambda v, xx: module.apply(v, xx),
+                               variables, x)
+        bench_fn(name, module.apply, variables, x, flops=flops,
+                 iters=iters)
         return module.apply(variables, x)
 
     x = jnp.asarray(rng.random((B, H, W, 3)), jnp.bfloat16)
@@ -69,17 +72,10 @@ def main():
     av = aspp_mod.init(jax.random.PRNGKey(0), h)
     aw = [av["params"][f"c{i}"]["kernel"] for i in range(4)]
     ab = [av["params"][f"c{i}"]["bias"] for i in range(4)]
-    fn = jax.jit(lambda x: jnp.sum(
-        fused_aspp(x, aw, ab).astype(jnp.float32)))
-    rate = time_fn_pipelined(fn, h, iters=20)
     aspp_flops = (h.shape[0] * h.shape[1] * h.shape[2]
                   * 9 * h.shape[3] * 64 * 4 * 2)
-    ms = 1e3 / rate
-    results["aspp_pallas_fused"] = {
-        "ms": round(ms, 2),
-        "tflops_per_s": round(aspp_flops / (ms / 1e3) / 1e12, 2),
-    }
-    print("aspp_pallas_fused", results["aspp_pallas_fused"], flush=True)
+    bench_fn("aspp_pallas_fused", lambda x: fused_aspp(x, aw, ab), h,
+             flops=aspp_flops)
 
     # prototype head: XLA vs fused Pallas at the real grid
     spec = ProtoSpec.equal_allocation(228, 64, 19, 4, num_groups=3)

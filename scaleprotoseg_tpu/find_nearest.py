@@ -92,32 +92,30 @@ def find_k_nearest_patches_to_prototypes(
     grid_shape = None
 
     offset = 0
+
     # buffered bulk fetches keep the device scan dispatching ahead of the
     # host top-k maintenance (same pattern as the train/eval loops)
-    pending = []
-
-    def drain():
+    def fold(item):
         nonlocal top_d, top_img, top_flat, grid_shape
-        for off, (vals, idxs, gshape) in jax.device_get(pending):
-            grid_shape = tuple(int(v) for v in gshape)
-            for b in range(vals.shape[0]):
-                cand_d = np.concatenate([top_d, vals[b][:, None]], axis=1)
-                cand_img = np.concatenate(
-                    [top_img, np.full((P, 1), off + b)], axis=1)
-                cand_flat = np.concatenate([top_flat, idxs[b][:, None]],
-                                           axis=1)
-                order = np.argsort(cand_d, axis=1)[:, :k]
-                top_d = np.take_along_axis(cand_d, order, 1)
-                top_img = np.take_along_axis(cand_img, order, 1)
-                top_flat = np.take_along_axis(cand_flat, order, 1)
-        pending.clear()
+        off, (vals, idxs, gshape) = item
+        grid_shape = tuple(int(v) for v in gshape)
+        for b in range(vals.shape[0]):
+            cand_d = np.concatenate([top_d, vals[b][:, None]], axis=1)
+            cand_img = np.concatenate(
+                [top_img, np.full((P, 1), off + b)], axis=1)
+            cand_flat = np.concatenate([top_flat, idxs[b][:, None]],
+                                       axis=1)
+            order = np.argsort(cand_d, axis=1)[:, :k]
+            top_d = np.take_along_axis(cand_d, order, 1)
+            top_img = np.take_along_axis(cand_img, order, 1)
+            top_flat = np.take_along_axis(cand_flat, order, 1)
 
+    from scaleprotoseg_tpu.parallel import BulkFetcher
+    fetcher = BulkFetcher(fold, limit=16)
     for images, targets in push_loader:
-        pending.append((offset, step(variables, *place(images, targets))))
-        if len(pending) >= 16:
-            drain()
+        fetcher.add((offset, step(variables, *place(images, targets))))
         offset += images.shape[0]
-    drain()
+    fetcher.drain()
     log(f"find_nearest: scanned {offset} images, grid {grid_shape}")
 
     # Second pass: fetch only the (<= P*k unique) winner annotations.

@@ -49,7 +49,7 @@ def _pick_chunk(c: int, chunk_c: int) -> int:
     for cand in range(min(c, chunk_c), 0, -1):
         if c % cand == 0:
             return cand
-    return c
+    raise AssertionError(c)  # unreachable: 1 divides c
 
 
 def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],

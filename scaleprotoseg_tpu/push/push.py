@@ -115,29 +115,27 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
     img_offset = 0
 
     n_batches = 0
+
     # device results are buffered and fetched in bulk so the scan keeps
     # dispatching asynchronously (a device_get per batch serializes the
     # loop on the host round-trip)
-    pending = []
-
-    def drain():
+    def fold(item):
         nonlocal best_dist, best_img, best_flat
-        for off, bsz, (vals, idxs) in jax.device_get(pending):
-            for b in range(bsz):
-                improved = vals[b] < best_dist
-                best_dist = np.where(improved, vals[b], best_dist)
-                best_img = np.where(improved, off + b, best_img)
-                best_flat = np.where(improved, idxs[b], best_flat)
-        pending.clear()
+        off, bsz, (vals, idxs) = item
+        for b in range(bsz):
+            improved = vals[b] < best_dist
+            best_dist = np.where(improved, vals[b], best_dist)
+            best_img = np.where(improved, off + b, best_img)
+            best_flat = np.where(improved, idxs[b], best_flat)
 
+    from scaleprotoseg_tpu.parallel import BulkFetcher
+    fetcher = BulkFetcher(fold, limit=16)
     for images, targets in push_loader:
-        pending.append((img_offset, images.shape[0],
-                        min_step(variables, *place(images, targets))))
-        if len(pending) >= 16:
-            drain()
+        fetcher.add((img_offset, images.shape[0],
+                     min_step(variables, *place(images, targets))))
         img_offset += images.shape[0]
         n_batches += 1
-    drain()
+    fetcher.drain()
     log(f"push: scanned {img_offset} images in {n_batches} batches")
 
     # Second pass: keep only the (<= P) unique winner images in memory.

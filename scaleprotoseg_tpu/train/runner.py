@@ -26,7 +26,8 @@ import numpy as np
 from scaleprotoseg_tpu import configlib
 from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
 from scaleprotoseg_tpu.ops.prototype import pairwise_l2
-from scaleprotoseg_tpu.parallel import create_mesh, shard_batch
+from scaleprotoseg_tpu.parallel import (BulkFetcher, create_mesh,
+                                         shard_batch)
 from scaleprotoseg_tpu.train.metrics import (MetricAccumulator,
                                              MetricsLogger)
 from scaleprotoseg_tpu.train.optim import (label_params,
@@ -192,13 +193,7 @@ class PhaseTrainer:
         # Metric scalars stay on device and are fetched in bulk: a
         # device_get per step would serialize training on the host
         # round-trip (the step itself keeps dispatching asynchronously).
-        pending = []
-
-        def flush_pending():
-            nonlocal pending
-            for m in jax.device_get(pending):
-                acc_train.update(m)
-            pending = []
+        fetcher = BulkFetcher(acc_train.update, limit=32)
 
         while steps < max_steps and not stop:
             for image, target in train_loader:
@@ -207,13 +202,11 @@ class PhaseTrainer:
                 batch = shard_batch((jnp.asarray(image),
                                      jnp.asarray(target)), self.mesh)
                 state, metrics = step_fn(state, *batch)
-                pending.append(metrics)
-                if len(pending) >= 32:
-                    flush_pending()
+                fetcher.add(metrics)
                 steps += 1
 
                 if steps % val_every == 0 or steps >= max_steps:
-                    flush_pending()
+                    fetcher.drain()
                     val_summary = self._validate(state, eval_fn, val_loader,
                                                  limit_val_batches)
                     train_summary = acc_train.summary()
@@ -260,19 +253,14 @@ class PhaseTrainer:
     def _validate(self, state, eval_fn, val_loader,
                   limit_val_batches=None) -> Dict[str, float]:
         acc = MetricAccumulator()
-        pending = []
+        fetcher = BulkFetcher(acc.update, limit=64)
         for i, (image, target) in enumerate(val_loader):
             if limit_val_batches is not None and i >= limit_val_batches:
                 break
             batch = shard_batch((jnp.asarray(image), jnp.asarray(target)),
                                 self.mesh)
-            pending.append(eval_fn(state, *batch))
-            if len(pending) >= 64:
-                for m in jax.device_get(pending):
-                    acc.update(m)
-                pending = []
-        for m in jax.device_get(pending):
-            acc.update(m)
+            fetcher.add(eval_fn(state, *batch))
+        fetcher.drain()
         return acc.summary()
 
     def _save(self, state: TrainState, name: str):
