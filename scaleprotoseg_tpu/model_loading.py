@@ -41,6 +41,8 @@ def load_model(model_path: str, checkpoint_path: str,
 
     ``fast=True`` enables the inference-only fused Pallas ASPP on
     DeepLabV2 backbones (no VJP: reporting/eval call sites only)."""
+    from scaleprotoseg_tpu.cli_common import enable_compilation_cache
+    enable_compilation_cache()
     params, batch_stats, meta = load_checkpoint(checkpoint_path)
     spec = spec_from_meta(meta["spec"])
     variant = (meta.get("extra") or {}).get("variant")
