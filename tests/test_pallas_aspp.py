@@ -53,6 +53,22 @@ def test_pallas_fused_aspp_interpret(rng):
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_pallas_fused_aspp_pascal_grid(rng):
+    """65x65 grid (pascal/cityscapes 513-window eval) with real rates:
+    odd spatial dims + full 24-halo path."""
+    from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp
+    rates = (6, 12, 18, 24)
+    x = jnp.asarray(rng.random((1, 65, 65, 64)), jnp.float32)
+    weights = [jnp.asarray(rng.random((3, 3, 64, 8)) * 0.05, jnp.float32)
+               for _ in rates]
+    biases = [jnp.asarray(rng.random((8,)), jnp.float32) for _ in rates]
+    ref = np.asarray(_conv_ref(x, weights, biases, rates))
+    got = np.asarray(fused_aspp(x, weights, biases, rates=rates,
+                                interpret=True)).astype(np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_pallas_fused_aspp_batch_and_chunk(rng):
     """Batch>1 and a channel count that needs the chunk divisor fallback."""
     from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp
