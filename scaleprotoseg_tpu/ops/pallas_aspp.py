@@ -85,18 +85,21 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
     bias = jnp.concatenate([jnp.asarray(bb, jnp.float32) for bb in biases])
 
     def kernel(x_hbm, w_ref, b_ref, out_ref, acc, xbuf, sem):
-        i = pl.program_id(0)
-        ci = pl.program_id(1)
-        nc = pl.num_programs(1)
-        li = i * nc + ci
-        total_steps = pl.num_programs(0) * nc
+        bi = pl.program_id(0)
+        i = pl.program_id(1)
+        ci = pl.program_id(2)
+        nr = pl.num_programs(1)
+        nc = pl.num_programs(2)
+        li = (bi * nr + i) * nc + ci
+        total_steps = pl.num_programs(0) * nr * nc
 
         def dma_for(li2):
-            i2 = li2 // nc
+            bi2 = li2 // (nr * nc)
+            i2 = (li2 // nc) % nr
             ci2 = li2 % nc
             slot = jax.lax.rem(li2, 2)
             return pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(i2 * tile_rows, tile_in_rows), :,
+                x_hbm.at[bi2, pl.ds(i2 * tile_rows, tile_in_rows), :,
                          pl.ds(ci2 * chunk_c, chunk_c)],
                 xbuf.at[slot], sem.at[slot])
 
@@ -138,22 +141,24 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
         def _():
             out_ref[0] = (acc[:] + b_ref[:]).astype(out_ref.dtype)
 
-    grid = (n_row_tiles, n_chunks)
-    call = pl.pallas_call(
+    # batch folds into the leading grid dimension: one pallas_call for
+    # the whole batch (bit-identical to a per-image loop, avoids the
+    # host-level concat of per-image outputs)
+    y = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b, n_row_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
             pl.BlockSpec((n_rates, 3, chunk_c, 3 * f),
-                         lambda i, j: (0, 0, j, 0),
+                         lambda bi, i, j: (0, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_f,), lambda i, j: (0,),
+            pl.BlockSpec((out_f,), lambda bi, i, j: (0,),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_rows, w8, out_f),
-                               lambda i, j: (0, i, 0, 0),
+                               lambda bi, i, j: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, h_pad, w8, out_f),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w8, out_f),
                                        jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((tile_rows, w8, out_f), jnp.float32),
@@ -163,7 +168,5 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )
-    results = [call(xp[i:i + 1], wstack, bias) for i in range(b)]
-    y = jnp.concatenate(results, axis=0) if b > 1 else results[0]
+    )(xp, wstack, bias)
     return y[:, :h, halo:halo + w]
