@@ -62,3 +62,17 @@ def test_config_builds_model(name, expected):
         assert model.msc_scales == (0.5, 0.75)
     else:
         assert model.msc_scales == ()
+
+
+def test_train_package_entry_shim():
+    """python -m scaleprotoseg_tpu.train must expose the train_wandb CLI
+    (reference's `python -m segmentation.train` surface)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "scaleprotoseg_tpu.train", "--help"],
+        capture_output=True, text=True, timeout=240,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "--pruned" in out.stdout
