@@ -137,12 +137,22 @@ def main():
     print(json.dumps(record))
 
 
+def _is_transient(exc: Exception) -> bool:
+    """Only the hosted-TPU tunnel's transient failures warrant a retry
+    (its compile helper occasionally drops a request with HTTP 500);
+    real errors — bad config, OOM, assertion — must surface once."""
+    msg = f"{type(exc).__name__}: {exc}".lower()
+    return any(s in msg for s in (
+        "500", "unavailable", "deadline", "connection", "socket",
+        "timed out", "timeout", "internal error", "transient"))
+
+
 if __name__ == "__main__":
-    # the hosted-TPU tunnel's compile helper occasionally drops a request
-    # (HTTP 500); one retry avoids recording a spurious bench failure
     try:
         main()
-    except Exception:
+    except Exception as e:
+        if not _is_transient(e):
+            raise
         import time as _t
         import traceback
         traceback.print_exc()

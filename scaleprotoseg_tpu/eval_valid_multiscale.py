@@ -96,6 +96,22 @@ def run_evaluation(model_name: str, training_phase: str,
 
     import jax.numpy as jnp
 
+    from scaleprotoseg_tpu import configlib
+    from scaleprotoseg_tpu.parallel import create_mesh
+    run_config = os.path.join(model_path, "config.gin")
+    if os.path.exists(run_config):
+        configlib.clear_config()
+        configlib.parse_config_file(run_config)
+    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
+                                                 None))
+    if fast and mesh.devices.size > 1:
+        # The fused Pallas ASPP is an opaque custom call to GSPMD: a
+        # batch-sharded eval would replicate/all-gather the 2048-channel
+        # feature map around it, losing the data-parallel win.  The XLA
+        # head partitions cleanly, so multi-chip eval uses it instead.
+        log(f"data-parallel x{mesh.devices.size}: disabling the fused "
+            "Pallas ASPP (not GSPMD-partitionable); using the XLA head")
+        fast = False
     model, spec, variables = load_model(model_path, checkpoint,
                                         dtype=jnp.bfloat16, fast=fast)
     dataset_path = data_root or settings.data_path(data_type)
@@ -106,16 +122,15 @@ def run_evaluation(model_name: str, training_phase: str,
     if limit:
         files = files[:limit]
     log(f"Evaluating {len(files)} val images ({data_type})")
-
-    from scaleprotoseg_tpu import configlib
-    from scaleprotoseg_tpu.parallel import create_mesh
-    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
-                                                 None))
     if mesh.devices.size > 1 and batch_size % mesh.devices.size:
         batch_size = batch_size * mesh.devices.size
         log(f"data-parallel x{mesh.devices.size}: eval batch "
             f"-> {batch_size}")
-    evaluator = SegEvaluator(model, spec.num_classes, mesh=mesh)
+    # purity accumulates over the WHOLE split inside the same eval pass
+    # (ref eval_valid_multiscale.py:255-269 loops every val image)
+    evaluator = SegEvaluator(model, spec.num_classes, mesh=mesh,
+                             proto_class=np.argmax(spec.class_identity,
+                                                   axis=1))
     # batch images of identical shape together (variable-size datasets
     # like ADE fall back to singleton shape buckets)
     pending_imgs, pending_anns, pending_shape = [], [], None
@@ -166,13 +181,16 @@ def run_evaluation(model_name: str, training_phase: str,
     flush()
 
     try:
-        _save_sample_and_purity_artifacts(
+        _save_sample_artifacts(
             model, spec, variables, files, img_dir, ann_dir, data_type,
             margin, out_dir, log)
     except Exception as e:  # artifacts are best-effort
         log(f"eval artifacts skipped: {e}")
 
     result = evaluator.result()
+    if "top_k_purity_percent" in result:
+        _save_purity_artifacts(result["top_k_purity_percent"],
+                               result["purity_images"], out_dir, log)
     names = class_names(data_type, spec.num_classes)
     iou_scores = {names[i]: result["per_class_iou"][i]
                   for i in range(spec.num_classes)}
@@ -217,14 +235,12 @@ def purity_curve_update(dists_grid: np.ndarray, logits_grid: np.ndarray,
     return frac.mean(axis=0) * 100.0
 
 
-def _save_sample_and_purity_artifacts(model, spec, variables, files,
-                                      img_dir, ann_dir, data_type, margin,
-                                      out_dir, log, n_samples: int = 5,
-                                      n_purity: int = 10):
-    """Top-K nearest-prototype purity curve + sample visualizations
-    (ref eval_valid_multiscale.py:255-311, 336-410).  The reference draws
-    its 100 pixels per image with the global numpy RNG; here a fixed seed
-    makes the artifact reproducible."""
+def _save_sample_artifacts(model, spec, variables, files, img_dir,
+                           ann_dir, data_type, margin, out_dir, log,
+                           n_samples: int = 5):
+    """Sample visualizations (ref eval_valid_multiscale.py:336-410).
+    Decoupled from the purity curve, which now streams over the whole
+    split inside the main eval pass (SegEvaluator)."""
     import jax
     import jax.numpy as jnp
     import matplotlib
@@ -236,16 +252,12 @@ def _save_sample_and_purity_artifacts(model, spec, variables, files,
     @jax.jit
     def forward(variables, image):
         out = model.apply(variables, image, train=False)
-        return out.logits, out.distances
+        return out.logits
 
-    proto_class = np.argmax(spec.class_identity, axis=1)
-    mean_top_k = np.zeros(spec.num_prototypes, np.float64)
-    purity_images = 0
-    purity_rng = np.random.default_rng(0)
     sample_dir = os.path.join(out_dir, "samples")
     os.makedirs(sample_dir, exist_ok=True)
 
-    for i, name in enumerate(files[:max(n_samples, n_purity)]):
+    for name in files[:n_samples]:
         img = np.load(os.path.join(img_dir, name + ".npy"))
         if margin:
             img = img[margin:-margin, margin:-margin]
@@ -254,49 +266,46 @@ def _save_sample_and_purity_artifacts(model, spec, variables, files,
             ann = ann[..., 0]
         ann = convert_targets(ann, data_type).astype(np.int64)
         x = _prepare_image(img, ann.shape, data_type)
-        logits, dists = jax.device_get(
+        logits = jax.device_get(
             forward(variables, jnp.asarray(x)[None].astype(np.float32)))
         pred = np.argmax(logits[0], -1)
-
-        if i < n_purity:
-            mean_top_k += purity_curve_update(
-                np.asarray(dists[0], np.float32),
-                np.asarray(logits[0], np.float32), proto_class, ann.shape,
-                purity_rng)
-            purity_images += 1
-
-        if i < n_samples:
-            t = resize_label_nearest_np(ann,
-                                        (pred.shape[1], pred.shape[0]))
-            fig, axes = plt.subplots(1, 3, figsize=(12, 4))
-            axes[0].imshow(img)
-            axes[0].set_title("input")
-            axes[1].imshow(t, cmap="tab20")
-            axes[1].set_title("ground truth")
-            axes[2].imshow(pred + 1, cmap="tab20")
-            axes[2].set_title("prediction")
-            for ax in axes:
-                ax.axis("off")
-            fig.tight_layout()
-            fig.savefig(os.path.join(sample_dir, f"{name}.png"), dpi=90)
-            plt.close(fig)
-
-    if purity_images:
-        curve = (mean_top_k / purity_images).tolist()
-        with open(os.path.join(out_dir, "proto_purity.json"), "w") as f:
-            json.dump({"top_k_purity_percent": curve,
-                       "n_images": purity_images}, f, indent=2)
-        fig, ax = plt.subplots(figsize=(10, 5))
-        ax.plot(curve)
-        ax.set_xlabel("Nearest K prototypes to a pixel")
-        ax.set_ylabel("% of K prototypes from pixel class")
-        ax.set_ylim(0, 100)
+        t = resize_label_nearest_np(ann, (pred.shape[1], pred.shape[0]))
+        fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+        axes[0].imshow(img)
+        axes[0].set_title("input")
+        axes[1].imshow(t, cmap="tab20")
+        axes[1].set_title("ground truth")
+        axes[2].imshow(pred + 1, cmap="tab20")
+        axes[2].set_title("prediction")
+        for ax in axes:
+            ax.axis("off")
         fig.tight_layout()
-        fig.savefig(os.path.join(out_dir,
-                                 "class_prototypes_in_nearest_k.png"),
-                    dpi=110)
+        fig.savefig(os.path.join(sample_dir, f"{name}.png"), dpi=90)
         plt.close(fig)
-        log(f"top-1 prototype purity: {curve[0]:.2f}%")
+
+
+def _save_purity_artifacts(curve, n_images, out_dir, log):
+    """proto_purity.json + the top-K purity plot
+    (ref eval_valid_multiscale.py:300-311), from the full-split
+    accumulation done on device by SegEvaluator."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(os.path.join(out_dir, "proto_purity.json"), "w") as f:
+        json.dump({"top_k_purity_percent": list(curve),
+                   "n_images": int(n_images)}, f, indent=2)
+    fig, ax = plt.subplots(figsize=(10, 5))
+    ax.plot(curve)
+    ax.set_xlabel("Nearest K prototypes to a pixel")
+    ax.set_ylabel("% of K prototypes from pixel class")
+    ax.set_ylim(0, 100)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "class_prototypes_in_nearest_k.png"),
+                dpi=110)
+    plt.close(fig)
+    log(f"top-1 prototype purity over {n_images} images: "
+        f"{curve[0]:.2f}%")
 
 
 def _save_plots(out_dir: str, iou_scores: dict, variables, spec):

@@ -164,20 +164,28 @@ class ASPP(nn.Module):
                 and self.dtype == jnp.bfloat16  # kernel computes in bf16
                 and not self.is_initializing()
                 and (jax.default_backend() == "tpu" or force)):
-            from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp
+            # fused_aspp_trainable == the raw kernel in the forward; its
+            # custom VJP (manual shifted-matmul transpose) makes the fast
+            # path differentiable, so training can use it too.
+            from scaleprotoseg_tpu.ops.pallas_aspp import (
+                fused_aspp_trainable)
             params = [
                 ASPPBranch(self.n_out, r, dtype=self.dtype, name=f"c{i}")(
                     x, x.shape, return_params=True)
                 for i, r in enumerate(self.rates)
             ]
-            y = fused_aspp(x.astype(jnp.bfloat16),
-                           [k for k, _ in params], [b for _, b in params],
-                           rates=tuple(self.rates),
-                           interpret=(force == "interpret"))
+            y = fused_aspp_trainable(
+                x.astype(jnp.bfloat16),
+                [k for k, _ in params], [b for _, b in params],
+                rates=tuple(self.rates),
+                interpret=(force == "interpret"))
             if self.mode == "sum":
                 y = y.astype(jnp.float32).reshape(
                     *y.shape[:-1], len(self.rates), self.n_out).sum(-2)
-            return y
+                return y
+            # match the XLA path's fp32 result dtype (einsum accumulates
+            # fp32) so fast=True does not perturb downstream numerics
+            return y.astype(jnp.float32)
         m = max(self.rates)
         xp = jnp.pad(x, ((0, 0), (m, m), (m, m), (0, 0)))
         branches = [
@@ -218,8 +226,9 @@ class DeepLabV2(nn.Module):
     atrous_rates: Tuple[int, ...] = (6, 12, 18, 24)
     aspp_mode: str = "concat"
     dtype: jnp.dtype = jnp.float32
-    # inference-only fused Pallas ASPP (1.6x the XLA head on v5e); the
-    # kernel defines no VJP, so leave False for training.
+    # fused one-pass Pallas ASPP (1.6x the XLA head on v5e).  Fully
+    # differentiable via a custom VJP (ops/pallas_aspp.py), so usable in
+    # training too; default False keeps the parity-tested XLA form.
     fast_aspp: bool = False
 
     @nn.compact

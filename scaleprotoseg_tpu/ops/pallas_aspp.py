@@ -27,12 +27,18 @@ keeping ALL data movement on the cheap side of the matmul:
 
 Weights: per-rate (3, 3, C, F) kernels; biases per-rate (F,).
 
-Inference-only: no custom VJP is defined — training differentiates the
-XLA shifted-matmul form (``models/deeplab.py`` ASPPBranch).
+``fused_aspp`` is the raw kernel (no VJP).  ``fused_aspp_trainable``
+wraps it in a custom VJP whose backward is written directly from the
+op's linear structure (the ASPP is linear in x and in W), so training
+can use the one-pass kernel for the forward while the backward costs
+exactly the XLA shifted-matmul AD graph — with no forward recompute
+(``jax.vjp`` of the XLA form would re-run the whole forward inside the
+backward; the manual rule avoids that).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache, partial
 from typing import Sequence, Tuple
 
 import jax
@@ -170,3 +176,90 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
         interpret=interpret,
     )(xp, wstack, bias)
     return y[:, :h, halo:halo + w]
+
+
+@lru_cache(maxsize=16)
+def _make_fused_aspp_trainable(rates: Tuple[int, ...], tile_rows: int,
+                               chunk_c: int, interpret: bool):
+    n_rates = len(rates)
+    halo = max(rates)
+
+    @jax.custom_vjp
+    def f(x, weights, biases):
+        return fused_aspp(x, list(weights), list(biases), rates=rates,
+                          tile_rows=tile_rows, chunk_c=chunk_c,
+                          interpret=interpret)
+
+    def fwd(x, weights, biases):
+        return f(x, weights, biases), (x, weights)
+
+    def bwd(res, g):
+        """Manual transpose of the shifted-matmul ASPP.
+
+        Forward per rate r, taps (di, dj):
+          y_r[p] += x[p + off] @ W_r[di, dj],  off = ((di-1)r, (dj-1)r)
+        so:
+          dx[q]          += sum g_r[q - off] @ W_r[di, dj]^T
+          dW_r[di, dj]    = sum_p x[p + off]^T g_r[p]
+          db_r            = sum_p g_r[p]
+        Shifts are realized as slices of one zero-padded g / x (the same
+        structure XLA AD derives for models/deeplab.py ASPPBranch).
+        Matmuls follow the input dtype (bf16 on the production path)
+        with fp32 accumulation like the forward.
+        """
+        x, weights = res
+        b_, h_, w_, c_ = x.shape
+        f_ = weights[0].shape[-1]
+        cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+        g32 = g.astype(cdt)
+        xb = x.astype(cdt)
+        gp = jnp.pad(g32, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+        xp = jnp.pad(xb, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+
+        dx = None
+        dws = []
+        dbs = []
+        for ri, rate in enumerate(rates):
+            g_r_pad = gp[..., ri * f_:(ri + 1) * f_]
+            g_r = g32[..., ri * f_:(ri + 1) * f_]
+            dw = [[None] * 3 for _ in range(3)]
+            for di in range(3):
+                for dj in range(3):
+                    oy, ox = (di - 1) * rate, (dj - 1) * rate
+                    gs = jax.lax.dynamic_slice(
+                        g_r_pad, (0, halo - oy, halo - ox, 0),
+                        (b_, h_, w_, f_))
+                    t = jnp.einsum(
+                        "bhwf,cf->bhwc", gs,
+                        weights[ri][di, dj].astype(cdt),
+                        preferred_element_type=jnp.float32)
+                    dx = t if dx is None else dx + t
+                    xs = jax.lax.dynamic_slice(
+                        xp, (0, halo + oy, halo + ox, 0),
+                        (b_, h_, w_, c_))
+                    dw[di][dj] = jnp.einsum(
+                        "bhwc,bhwf->cf", xs, g_r,
+                        preferred_element_type=jnp.float32)
+            dws.append(jnp.stack([jnp.stack(row) for row in dw]))
+            dbs.append(jnp.sum(
+                g.astype(jnp.float32)[..., ri * f_:(ri + 1) * f_],
+                axis=(0, 1, 2)))
+        dx = dx.astype(x.dtype)
+        dws = tuple(w0.astype(weights[i].dtype)
+                    for i, w0 in enumerate(dws))
+        dbs = tuple(dbs)
+        return dx, dws, dbs
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_aspp_trainable(x: jax.Array, weights: Sequence[jax.Array],
+                         biases: Sequence[jax.Array],
+                         rates: Tuple[int, ...] = (6, 12, 18, 24),
+                         tile_rows: int = 8, chunk_c: int = 512,
+                         interpret: bool = False) -> jax.Array:
+    """``fused_aspp`` with a custom VJP (see module docstring)."""
+    fn = _make_fused_aspp_trainable(tuple(rates), tile_rows, chunk_c,
+                                    interpret)
+    return fn(x, tuple(weights), tuple(biases))

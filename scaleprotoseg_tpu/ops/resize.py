@@ -79,6 +79,37 @@ def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
     return jax.image.resize(x, out_shape, method="linear")
 
 
+def bilinear_sample(arr: jax.Array, rows: jax.Array, cols: jax.Array,
+                    out_h: int, out_w: int) -> jax.Array:
+    """Jittable batched twin of ``bilinear_sample_np``: values of the
+    align_corners=False bilinear upsample of ``arr`` (B, H, W, C) to
+    (out_h, out_w) at integer output pixels ``rows``/``cols`` (B, n),
+    without materializing the upsampled volume (at Cityscapes label
+    resolution that is 2M x P floats per image).  Used by the on-device
+    full-split purity accumulation (ref eval_valid_multiscale.py:255-269).
+    """
+    h, w = arr.shape[1], arr.shape[2]
+    sy = jnp.clip((rows.astype(jnp.float32) + 0.5) * (h / out_h) - 0.5,
+                  0, h - 1)
+    sx = jnp.clip((cols.astype(jnp.float32) + 0.5) * (w / out_w) - 0.5,
+                  0, w - 1)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
+
+    def gather(a, r, c):
+        return a[r, c]                                   # (n, C)
+
+    g = jax.vmap(gather)
+    return (g(arr, y0, x0) * (1 - wy) * (1 - wx) +
+            g(arr, y0, x1) * (1 - wy) * wx +
+            g(arr, y1, x0) * wy * (1 - wx) +
+            g(arr, y1, x1) * wy * wx)
+
+
 def bilinear_sample_np(arr: np.ndarray, rows: np.ndarray, cols: np.ndarray,
                        out_h: int, out_w: int) -> np.ndarray:
     """Values of the ``align_corners=False`` bilinear upsample of ``arr``

@@ -91,13 +91,24 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
 
     Args:
       push_loader: iterable of (images NHWC normalized, raw labels) batches
-        covering the train split in a fixed order.
+        covering the train split in a FIXED, RE-ITERABLE order — the
+        winner images are collected on a second pass by running offset, so
+        a shuffling or generator-style loader would silently misassign
+        prototype vectors.  Enforced: ``shuffle=True`` loaders are
+        refused, and the second pass asserts the first batch is
+        bit-identical to the first pass's.
       dedup: prune exact-duplicate prototypes afterwards (ref :327-335).
       mesh: optional data mesh — the dataset scan (the push hot loop,
         SURVEY.md §3.3) shards each batch's image axis over it, so the
         full-split forward fans out data-parallel (a batch of
         ``mesh_size`` full-res images runs one image per chip).
     """
+    if getattr(push_loader, "shuffle", False):
+        raise ValueError(
+            "push_prototypes requires a fixed-order loader: the winner "
+            "images are re-collected by running offset on a second pass; "
+            "pass a loader with shuffle=False (ref push uses the "
+            "eval-ordered train_push_dataloader, data_module.py:17-80)")
     P = spec.num_prototypes
     min_step = _make_min_step(model, spec)
     gather_step = _make_gather_step(model, spec)
@@ -130,7 +141,11 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
 
     from scaleprotoseg_tpu.parallel import BulkFetcher
     fetcher = BulkFetcher(fold, limit=16)
+    first_batch_probe = None
     for images, targets in push_loader:
+        if first_batch_probe is None:
+            first_batch_probe = (np.asarray(images).shape,
+                                 float(np.asarray(images, np.float64).sum()))
         fetcher.add((img_offset, images.shape[0],
                      min_step(variables, *place(images, targets))))
         img_offset += images.shape[0]
@@ -143,6 +158,17 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
     image_cache: Dict[int, np.ndarray] = {}
     offset = 0
     for images, _ in push_loader:
+        if offset == 0 and first_batch_probe is not None:
+            probe = (np.asarray(images).shape,
+                     float(np.asarray(images, np.float64).sum()))
+            if probe != first_batch_probe:
+                raise RuntimeError(
+                    "push_prototypes: the loader's second pass returned a "
+                    "different first batch than the first pass — the "
+                    "loader must be re-iterable in a fixed order (no "
+                    "shuffling, no exhausted generators), or prototype "
+                    f"vectors would be misassigned ({probe} != "
+                    f"{first_batch_probe})")
         for b in range(images.shape[0]):
             if offset + b in winner_set:
                 image_cache[offset + b] = np.asarray(images[b])

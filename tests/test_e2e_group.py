@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e pipeline: ~3 min on a 1-core host
+
 from e2e_utils import (TINY_EM_CONFIG, TINY_GROUP_CONFIG,
                        build_synthetic_dataset)
 

@@ -49,6 +49,7 @@ def _setup():
     return state, step
 
 
+@pytest.mark.slow  # ~2 min: full DP-vs-single-device trajectory
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_dp_step_matches_single_device_trajectory():
     rng = np.random.default_rng(7)

@@ -113,3 +113,39 @@ def test_aspp_fast_path_module_interpret(rng, mode, monkeypatch):
     b = np.asarray(fast.apply(variables, x), np.float32)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
+
+
+def test_fused_aspp_trainable_vjp_matches_xla_ad(rng):
+    """The custom VJP (manual shifted-matmul transpose) must match AD
+    through the dilated-conv golden for dx, dW, db."""
+    from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp_trainable
+    rates = (2, 4, 6, 8)
+    x = jnp.asarray(rng.random((2, 12, 17, 256)) - 0.5, jnp.float32)
+    weights = tuple(
+        jnp.asarray(rng.random((3, 3, 256, 64)) * 0.05, jnp.float32)
+        for _ in rates)
+    biases = tuple(jnp.asarray(rng.random((64,)), jnp.float32)
+                   for _ in rates)
+    cot = jnp.asarray(rng.standard_normal((2, 12, 17, 256)), jnp.float32)
+
+    def loss_fused(x, w, b):
+        y = fused_aspp_trainable(x, w, b, rates=rates, tile_rows=4,
+                                 interpret=True)
+        return jnp.sum(y.astype(jnp.float32) * cot)
+
+    def loss_ref(x, w, b):
+        # same output-dtype contract as the kernel (bf16 result), so both
+        # paths see the identically-rounded cotangent
+        y = _conv_ref(x, list(w), list(b), rates).astype(jnp.bfloat16)
+        return jnp.sum(y.astype(jnp.float32) * cot)
+
+    gx, gw, gb = jax.grad(loss_fused, argnums=(0, 1, 2))(x, weights,
+                                                         biases)
+    rx, rw, rb = jax.grad(loss_ref, argnums=(0, 1, 2))(x, weights, biases)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=1e-3)
+    for i in range(len(rates)):
+        np.testing.assert_allclose(np.asarray(gw[i]), np.asarray(rw[i]),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb[i]), np.asarray(rb[i]),
+                                   rtol=1e-3, atol=1e-3)

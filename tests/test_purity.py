@@ -76,3 +76,50 @@ def test_purity_curve_is_100_when_all_protos_match():
     curve = purity_curve_update(dists, logits, proto_class, (8, 8),
                                 np.random.default_rng(1))
     np.testing.assert_allclose(curve, 100.0)
+
+
+def test_evaluator_full_split_purity_matches_host_reference(rng):
+    """SegEvaluator's on-device whole-split purity accumulation equals the
+    parity-tested host per-image math (purity_curve_update) image by
+    image — the reference accumulates over EVERY val image
+    (eval_valid_multiscale.py:165-269), not a capped prefix."""
+    import jax.numpy as jnp
+    from scaleprotoseg_tpu.eval.miou import SegEvaluator
+
+    P, C = 12, 3
+    B, hp, wp = 2, 6, 9
+    H, W = 25, 33
+    proto_class = rng.integers(0, C, size=P)
+    batches = []
+    for _ in range(2):  # 2 batches x 2 images = 4-image "split"
+        batches.append((
+            rng.random((B, hp, wp, P)).astype(np.float32) * 4,
+            rng.standard_normal((B, hp, wp, C)).astype(np.float32)))
+
+    class Dummy:
+        """distances+logits arrive packed in the images tensor (the step
+        is jitted: closure data would be baked in at trace time)."""
+
+        def apply(self, variables, images, train):
+            class Out:
+                distances = images[..., :P]
+                logits = images[..., P:]
+            return Out()
+
+    ev = SegEvaluator(Dummy(), C, proto_class=proto_class)
+    targets = rng.integers(0, C + 1, (B, H, W)).astype(np.int32)
+    for d, lg in batches:
+        ev.update({}, np.concatenate([d, lg], axis=-1), targets)
+    got = ev.result()
+    assert got["purity_images"] == 4
+
+    # host replay: same rng stream (rows then cols per image, in order)
+    host_rng = np.random.default_rng(0)
+    expected = np.zeros(P, np.float64)
+    for d, lg in batches:
+        for b in range(B):
+            expected += purity_curve_update(
+                d[b], lg[b], proto_class, (H, W), host_rng)
+    expected /= 4
+    np.testing.assert_allclose(got["top_k_purity_percent"], expected,
+                               rtol=1e-4, atol=1e-3)

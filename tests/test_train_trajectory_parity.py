@@ -1,0 +1,484 @@
+"""End-to-end training-trajectory parity vs the reference torch stack.
+
+Composes the per-piece parity tests (losses == reference torch loss.py,
+optimizer == torch Adam+PolynomialLR, conversion == forward parity) into
+the system-level claim: N train steps of the JAX pipeline reproduce N
+steps of the reference's actual module semantics
+(`segmentation/model/module_multiscale.py:180-315`,
+`module_multiscale_group_train.py:200-355`, `train_and_test.py`) from the
+same converted init on the same batches — per-micro-step losses AND final
+parameters, for every phase of both the prototype and the group model.
+
+The torch side is a faithful mirror of the reference training step built
+from the reference's own loss implementations
+(`/root/reference/segmentation/model/loss.py`, imported directly) plus a
+torch PPNet mirror (backbone from test_torch_convert) driving torch Adam
+param groups / PolynomialLR / iter_size accumulation / BN freeze /
+grad masking / post-step simplex projection exactly as the reference
+modules do.  The JAX side is the production `make_train_step` +
+`make_phase_optimizer` pipeline, initialized by converting the torch
+model's state dict.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+from PIL import Image  # noqa: E402
+
+from scaleprotoseg_tpu.checkpoints.torch_convert import (  # noqa: E402
+    ppnet_statedict_to_params)
+from scaleprotoseg_tpu.models.deeplab import DeepLabV2  # noqa: E402
+from scaleprotoseg_tpu.models.ppnet import PPNet  # noqa: E402
+from scaleprotoseg_tpu.ops.simplex import (  # noqa: E402
+    projection_simplex_sort)
+from scaleprotoseg_tpu.spec import ProtoSpec  # noqa: E402
+from scaleprotoseg_tpu.train.optim import (  # noqa: E402
+    label_params, make_phase_optimizer, partition_params, phase_groups,
+    poly_schedule)
+from scaleprotoseg_tpu.train.state import TrainState  # noqa: E402
+from scaleprotoseg_tpu.train.steps import (  # noqa: E402
+    LossWeights, make_train_step)
+
+from test_torch_convert import build_torch_deeplab  # noqa: E402
+
+REF_LOSS = "/root/reference/segmentation/model/loss.py"
+if not os.path.exists(REF_LOSS):  # pragma: no cover
+    pytest.skip("reference checkout not present", allow_module_level=True)
+
+_spec_mod = importlib.util.spec_from_file_location("ref_loss", REF_LOSS)
+ref_losses = importlib.util.module_from_spec(_spec_mod)
+_spec_mod.loader.exec_module(ref_losses)
+
+
+# ---------------------------------------------------------------------------
+# Problem size: tiny-depth flagship shape (4 scales, grouped head capable)
+# ---------------------------------------------------------------------------
+N_OUT = 8           # per-scale feature depth -> backbone C = 32
+IMG = 33            # -> 5x5 output grid at OS 8
+BATCH = 2
+ITER_SIZE = 2       # > 1: accumulation boundaries are part of the claim
+N_MICRO = 8         # -> 4 optimizer steps
+POWER = 0.9
+
+HP = dict(warm_lr_add_on=2.5e-3, warm_lr_protos=2.5e-3, warm_wd=5e-4,
+          joint_lr_features=1e-3, joint_lr_add_on=2.5e-3,
+          joint_lr_protos=2.5e-3, joint_wd=5e-4, last_layer_lr=2.5e-3,
+          warm_lr_group=2.5e-3, joint_lr_group=2.5e-3)
+
+
+def _make_spec(grouped):
+    return ProtoSpec.equal_allocation(24, 8, num_classes=3, num_scales=4,
+                                      num_groups=3 if grouped else 0)
+
+
+def _resize_label_ref(label, size_wh):
+    """Reference resize_label semantics (dataset.py:22-30): PIL NEAREST."""
+    img = Image.fromarray(label.astype(float)).resize(
+        size_wh, resample=Image.NEAREST)
+    return torch.LongTensor(np.asarray(img))
+
+
+# ---------------------------------------------------------------------------
+# Torch PPNet mirror (reference model_multiscale[_group].py semantics)
+# ---------------------------------------------------------------------------
+class TorchPPNet(nn.Module):
+    def __init__(self, spec, grouped=False, incorrect_strength=-0.5,
+                 seed=0):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.spec = spec
+        self.grouped = grouped
+        self.num_classes = spec.num_classes
+        self.num_groups = spec.num_groups
+        self.num_scales = spec.num_scales
+        self.scale_num_prototypes = spec.scale_num_prototypes
+        self.prototype_class_identity = torch.from_numpy(
+            spec.class_identity)
+        self.base = build_torch_deeplab(n_blocks=(1, 1, 1, 1), n_out=N_OUT,
+                                        concat=True)
+        P, D = spec.num_prototypes, spec.proto_depth
+        self.prototype_vectors = nn.Parameter(torch.rand(P, D, 1, 1))
+        if grouped:
+            self.group_class_identity = torch.from_numpy(
+                spec.group_class_identity)
+            G = spec.num_groups
+            self.group_projection = nn.ModuleList()
+            for c in range(spec.num_classes):
+                pc = int(spec.class_counts[c])
+                if pc == 0:
+                    continue
+                lin = nn.Linear(pc, G, bias=False)
+                with torch.no_grad():
+                    # reference applies the simplex projection at init
+                    # (model_multiscale_group.py:516-517)
+                    lin.weight.copy_(torch.from_numpy(np.asarray(
+                        projection_simplex_sort(
+                            jnp.asarray(lin.weight.numpy())))))
+                self.group_projection.append(lin)
+            self.last_layer_group = nn.Linear(
+                spec.num_classes * G, spec.num_classes, bias=False)
+            gci = spec.group_class_identity  # (C*G, C)
+            init = (gci + incorrect_strength * (1.0 - gci)) * \
+                (gci.sum(axis=1, keepdims=True) > 0)
+            with torch.no_grad():
+                self.last_layer_group.weight.copy_(
+                    torch.from_numpy(init.T.astype(np.float32)))
+        else:
+            self.last_layer = nn.Linear(P, spec.num_classes, bias=False)
+            ident = spec.class_identity  # (P, C)
+            init = ident + (-0.5) * (1.0 - ident)
+            with torch.no_grad():
+                self.last_layer.weight.copy_(
+                    torch.from_numpy(init.T.astype(np.float32)))
+
+    def state_dict_for_conversion(self):
+        # .copy(): torch training mutates parameters in place and the
+        # converted snapshot must stay the *initial* state
+        sd = {f"features.base.{k}": v.detach().numpy().copy()
+              for k, v in self.base.state_dict().items()}
+        sd["prototype_vectors"] = \
+            self.prototype_vectors.detach().numpy().copy()
+        if self.grouped:
+            sd["last_layer_group.weight"] = \
+                self.last_layer_group.weight.detach().numpy().copy()
+            for k, lin in enumerate(self.group_projection):
+                sd[f"group_projection.{k}.weight"] = \
+                    lin.weight.detach().numpy().copy()
+        else:
+            sd["last_layer.weight"] = \
+                self.last_layer.weight.detach().numpy().copy()
+        return sd
+
+    @staticmethod
+    def _l2_conv(x, protos):
+        """ref model_multiscale.py:256-281: ||x||^2 - 2 x.p + ||p||^2."""
+        ones = torch.ones_like(protos)
+        x2_sum = torch.nn.functional.conv2d(x ** 2, ones)
+        p2 = (protos ** 2).sum(dim=(1, 2, 3)).view(-1, 1, 1)
+        xp = torch.nn.functional.conv2d(x, protos)
+        return torch.relu(x2_sum - 2 * xp + p2)
+
+    def forward(self, x):
+        f = torch.sigmoid(self.base(x))          # deeplab_simple add-on
+        B, C, H, W = f.shape
+        S, D = self.num_scales, C // self.num_scales
+        fs = f.view(B, S, D, H, W)
+        proto = self.prototype_vectors
+        out = []
+        for s in range(S - 1, -1, -1):           # coarse -> fine (ref :301)
+            lo, hi = self.scale_num_prototypes[s]
+            out.append(self._l2_conv(fs[:, s], proto[lo:hi]))
+        distances = torch.cat(out[::-1], dim=1)  # (B, P, H, W)
+        dist_flat = distances.permute(0, 2, 3, 1).reshape(
+            -1, self.spec.num_prototypes)
+        acts = torch.log((dist_flat + 1) / (dist_flat + 1e-4))
+        if self.grouped:
+            group_list = [torch.exp(lin(acts[:, np.nonzero(
+                self.spec.class_identity[:, c])[0]]))
+                for c, lin in zip(
+                    [ci for ci in range(self.num_classes)
+                     if self.spec.class_counts[ci] > 0],
+                    self.group_projection)]
+            logits = self.last_layer_group(torch.cat(group_list, dim=-1))
+        else:
+            group_list = None
+            logits = self.last_layer(acts)
+        logits = logits.view(B, H, W, -1)
+        return logits, distances, acts, group_list
+
+    def freeze_bn(self):
+        for m in self.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.eval()
+
+
+def _torch_param_groups(net, variant, phase, joint_last=True):
+    """The reference Adam specs (module_multiscale.py:393-463,
+    module_multiscale_group_train.py:449-505 + train_and_test.py)."""
+    conv_1x, aspp_w, aspp_b = [], [], []
+    for name, m in net.base.named_modules():
+        if isinstance(m, nn.Conv2d):
+            if "aspp" in name:
+                aspp_w.append(m.weight)
+                if m.bias is not None:
+                    aspp_b.append(m.bias)
+            elif "layer" in name or name.startswith("conv1"):
+                conv_1x.append(m.weight)
+    if variant == "multiscale":
+        if phase == 0:
+            return [
+                {"params": aspp_w + aspp_b, "lr": HP["warm_lr_add_on"],
+                 "weight_decay": HP["warm_wd"]},
+                {"params": [net.prototype_vectors],
+                 "lr": HP["warm_lr_protos"]},
+            ]
+        if phase == 1:
+            return [
+                {"params": conv_1x, "lr": HP["joint_lr_features"],
+                 "weight_decay": HP["joint_wd"]},
+                {"params": aspp_w, "lr": 10 * HP["joint_lr_features"],
+                 "weight_decay": HP["joint_wd"]},
+                {"params": aspp_b, "lr": 10 * HP["joint_lr_features"],
+                 "weight_decay": HP["joint_wd"]},
+                {"params": [net.prototype_vectors],
+                 "lr": HP["joint_lr_protos"]},
+            ]
+        return [{"params": net.last_layer.parameters(),
+                 "lr": HP["last_layer_lr"]}]
+    # group variant
+    if phase == 0:
+        return [{"params": net.group_projection.parameters(),
+                 "lr": HP["warm_lr_group"]}]
+    if phase == 1:
+        assert joint_last
+        return [
+            {"params": net.group_projection.parameters(),
+             "lr": HP["joint_lr_group"]},
+            {"params": net.last_layer_group.parameters(),
+             "lr": HP["last_layer_lr"]},
+        ]
+    return [{"params": net.last_layer_group.parameters(),
+             "lr": HP["last_layer_lr"]}]
+
+
+def _run_torch(net, batches, variant, phase, weights,
+               grad_mask=False, project_simplex=False):
+    """The reference _step loop: per-micro-step losses + final params."""
+    opt = torch.optim.Adam(_torch_param_groups(net, variant, phase))
+    sched = None
+    if phase == 1:
+        iter_max = N_MICRO // ITER_SIZE
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            opt, lambda t: max(1.0 - t / iter_max, 0.0) ** POWER)
+    ce_fn = ref_losses.PixelWiseCrossEntropyLoss(ignore_index=-1,
+                                                 return_correct=True)
+    spec = net.spec
+    if variant == "multiscale":
+        kld_fn = ref_losses.KLDLoss(
+            prototype_class_identity=net.prototype_class_identity,
+            num_scales=spec.num_scales,
+            scale_num_prototypes=spec.scale_num_prototypes)
+        l1_mask = 1 - net.prototype_class_identity.T
+    else:
+        kld_fn = ref_losses.KLDLossGroup(
+            prototype_class_identity=net.prototype_class_identity,
+            group_class_identity=net.group_class_identity,
+            num_groups=spec.num_groups)
+        group_ent_fn = ref_losses.EntropyGroup(net)
+        l1_mask = 1 - net.group_class_identity.T
+
+    losses = []
+    opt.zero_grad()
+    iter_steps = 0
+    for img, tgt in batches:
+        net.train()
+        net.freeze_bn()     # ref: freezing_batch_norm every step
+        x = torch.from_numpy(img).permute(0, 3, 1, 2).float()
+        logits, distances, acts, group_list = net(x)
+        H, W = logits.shape[1], logits.shape[2]
+        target = torch.stack([_resize_label_ref(t, (W, H)) for t in tgt])
+
+        ce, _ = ce_fn(predicted_logits=logits, target_labels=target)
+        if variant == "multiscale":
+            kld = kld_fn(prototype_distances=distances,
+                         target_labels=target)
+            l1 = (net.last_layer.weight * l1_mask).norm(p=1)
+            loss = weights.crs_ent * ce + weights.kld * kld + \
+                weights.l1 * l1
+        else:
+            kld = kld_fn(list_group_activation=group_list,
+                         target_labels=target)
+            l1 = (net.last_layer_group.weight * l1_mask).norm(p=1)
+            gent = group_ent_fn()
+            loss = weights.crs_ent * ce + weights.kld * kld + \
+                weights.l1 * l1 + weights.group_ent * gent
+        (loss / ITER_SIZE).backward()
+        losses.append(float(loss))
+        iter_steps += 1
+
+        if grad_mask and phase == 1:
+            # ref module_multiscale_group_train.py:327-328
+            with torch.no_grad():
+                net.last_layer_group.weight.grad *= \
+                    net.group_class_identity.T
+        if iter_steps == ITER_SIZE:
+            iter_steps = 0
+            opt.step()
+            if sched is not None:
+                sched.step()
+            if project_simplex:
+                # ref :337-338, applied after every optimizer step
+                with torch.no_grad():
+                    for lin in net.group_projection:
+                        lin.weight.data = torch.from_numpy(np.asarray(
+                            projection_simplex_sort(
+                                jnp.asarray(lin.weight.data.numpy()))))
+            opt.zero_grad()
+    return losses
+
+
+# ---------------------------------------------------------------------------
+# JAX pipeline runner
+# ---------------------------------------------------------------------------
+def _run_jax(init_sd, spec, batches, variant, phase, weights,
+             grad_mask=False, project_simplex=False):
+    grouped = variant == "group"
+    backbone = DeepLabV2(n_out=N_OUT, n_blocks=(1, 1, 1, 1),
+                         aspp_mode="concat")
+    model = PPNet(backbone=backbone, spec=spec,
+                  backbone_channels=spec.feature_depth, grouped=grouped,
+                  incorrect_strength=0.0 if grad_mask else -0.5)
+    params, stats = ppnet_statedict_to_params(init_sd, spec)
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, stats)}
+
+    groups = phase_groups(variant, phase, HP)
+    trainable, _ = partition_params(variables["params"], set(groups))
+    labels = label_params(trainable)
+    sched = poly_schedule(POWER, N_MICRO // ITER_SIZE) if phase == 1 \
+        else None
+    tx = make_phase_optimizer(groups, labels, schedule=sched,
+                              iter_size=ITER_SIZE)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats"),
+                              tx.init(trainable))
+    step = make_train_step(
+        model, spec, tx, set(groups), weights, donate=False,
+        grad_mask_last_group=grad_mask and phase == 1,
+        project_group_simplex=project_simplex)
+    losses = []
+    for img, tgt in batches:
+        state, metrics = step(state, jnp.asarray(img),
+                              jnp.asarray(tgt.astype(np.int32)))
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+def _make_batches(seed=0):
+    rng = np.random.default_rng(seed)
+    return [(rng.standard_normal((BATCH, IMG, IMG, 3)).astype(np.float32),
+             rng.integers(0, 4, size=(BATCH, IMG, IMG)).astype(np.int64))
+            for _ in range(N_MICRO)]
+
+
+def _assert_trajectory(torch_losses, jax_losses, torch_named, jax_named,
+                       loss_rtol=5e-4, param_atol=5e-5):
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=loss_rtol,
+                               atol=1e-5,
+                               err_msg="per-micro-step loss trajectories")
+    assert set(jax_named) == set(torch_named)
+    for name, got in jax_named.items():
+        np.testing.assert_allclose(
+            got, torch_named[name], rtol=1e-3, atol=param_atol,
+            err_msg=f"final params diverged at {name}")
+
+
+def _final_params_proto(net, state):
+    """Matched (torch, jax) final tensors across every trainable family."""
+    aspp_t = net.base.aspp["c0"].weight.detach().numpy().transpose(
+        2, 3, 1, 0)
+    conv_t = net.base.layer4["block1"].conv3x3.conv.weight.detach(). \
+        numpy().transpose(2, 3, 1, 0)
+    p = state.params
+    torch_named = {
+        "prototype_vectors":
+            net.prototype_vectors.detach().numpy().reshape(24, 8),
+        "aspp_c0_kernel": aspp_t,
+        "aspp_c0_bias": net.base.aspp["c0"].bias.detach().numpy(),
+        "layer4_conv3x3": conv_t,
+    }
+    jax_named = {
+        "prototype_vectors": np.asarray(p["prototype_vectors"]),
+        "aspp_c0_kernel":
+            np.asarray(p["backbone"]["aspp"]["c0"]["kernel"]),
+        "aspp_c0_bias": np.asarray(p["backbone"]["aspp"]["c0"]["bias"]),
+        "layer4_conv3x3": np.asarray(
+            p["backbone"]["layer4"]["block1"]["conv3x3"]["conv"]["kernel"]),
+    }
+    return torch_named, jax_named
+
+
+def _final_params_group(net, spec, state):
+    p = state.params
+    gp_t = np.zeros((spec.num_classes, spec.num_groups,
+                     spec.max_protos_per_class), np.float32)
+    for k, c in enumerate([c for c in range(spec.num_classes)
+                           if spec.class_counts[c] > 0]):
+        w = net.group_projection[k].weight.detach().numpy()
+        gp_t[c, :, :w.shape[1]] = w
+    llg_t = np.zeros((spec.num_classes * spec.num_groups,
+                      spec.num_classes), np.float32)
+    w = net.last_layer_group.weight.detach().numpy()
+    g = spec.num_groups
+    for k, c in enumerate([c for c in range(spec.num_classes)
+                           if spec.class_counts[c] > 0]):
+        llg_t[c * g:(c + 1) * g, :] = w[:, k * g:(k + 1) * g].T
+    torch_named = {"group_projection": gp_t, "last_layer_group": llg_t}
+    jax_named = {
+        "group_projection": np.asarray(p["group_projection"]),
+        "last_layer_group": np.asarray(p["last_layer_group"]),
+    }
+    return torch_named, jax_named
+
+
+# ---------------------------------------------------------------------------
+# The parity claims
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("phase", [
+    pytest.param(0, marks=pytest.mark.slow),
+    1,
+    pytest.param(2, marks=pytest.mark.slow),
+])
+def test_proto_phase_trajectory_parity(phase):
+    """N steps of the proto-phase pipeline (CE + KLD + L1, iter_size
+    accumulation, BN freeze, 10x ASPP lr + poly decay in joint) track the
+    reference torch stack exactly (module_multiscale.py:180-315)."""
+    spec = _make_spec(grouped=False)
+    weights = LossWeights(crs_ent=1.0, kld=0.25, l1=1e-4)
+    net = TorchPPNet(spec, grouped=False, seed=1)
+    init_sd = net.state_dict_for_conversion()  # snapshot BEFORE training
+    batches = _make_batches()
+    torch_losses = _run_torch(net, batches, "multiscale", phase, weights)
+    jax_losses, state = _run_jax(init_sd, spec, batches, "multiscale",
+                                 phase, weights)
+    torch_named, jax_named = _final_params_proto(net, state)
+    if phase == 2:
+        torch_named = {"last_layer":
+                       net.last_layer.weight.detach().numpy().T}
+        jax_named = {"last_layer": np.asarray(state.params["last_layer"])}
+    _assert_trajectory(torch_losses, jax_losses, torch_named, jax_named)
+
+
+@pytest.mark.parametrize("phase", [
+    pytest.param(0, marks=pytest.mark.slow),
+    1,
+])
+def test_group_phase_trajectory_parity(phase):
+    """N steps of the group-phase pipeline (CE + KLDGroup + EntropyGroup
+    + group-masked L1, last-layer grad masking at incorrect_strength=0,
+    post-step simplex projection) track the reference torch stack
+    (module_multiscale_group_train.py:200-355)."""
+    spec = _make_spec(grouped=True)
+    weights = LossWeights(crs_ent=1.0, kld=0.25, l1=1e-3, group_ent=0.05)
+    net = TorchPPNet(spec, grouped=True, incorrect_strength=0.0, seed=2)
+    init_sd = net.state_dict_for_conversion()  # snapshot BEFORE training
+    batches = _make_batches(seed=3)
+    torch_losses = _run_torch(net, batches, "group", phase, weights,
+                              grad_mask=True, project_simplex=True)
+    jax_losses, state = _run_jax(init_sd, spec, batches, "group", phase,
+                                 weights, grad_mask=True,
+                                 project_simplex=True)
+    torch_named, jax_named = _final_params_group(net, spec, state)
+    _assert_trajectory(torch_losses, jax_losses, torch_named, jax_named)
+    # simplex invariant held on both sides
+    gw = jax_named["group_projection"]
+    np.testing.assert_allclose(gw.sum(-1), 1.0, rtol=1e-4)

@@ -1,0 +1,203 @@
+"""Two-process distributed DP rehearsal (multi-host execution proof).
+
+`parallel/mesh.py` documents multi-host operation as
+``jax.distributed.initialize`` + per-host loader shards
+(`data/loader.py`: each process iterates ``idx[host_id::num_hosts]``) —
+but everything else ever executed is a single-process virtual mesh.
+This script actually runs it: two OS processes rendezvous through the
+JAX coordination service (CPU backend, gloo collectives), each feeds its
+host shard of a deterministic synthetic dataset into a 2-device global
+mesh, runs N data-parallel train steps of the tiny flagship-shaped PPNet
+via the production ``make_train_step``, and process 0 records the loss
+trajectory.  The parent then replays the SAME global batches on a
+single-process 2-virtual-device mesh and asserts the trajectories match
+— per-host data disjointness feeding real cross-process collectives,
+coordinator wiring, and ``make_array_from_process_local_data`` assembly
+are all on the line.
+
+Usage:
+  python tools/two_process_rehearsal.py            # orchestrate + assert
+  python tools/two_process_rehearsal.py worker <pid> <port> <out.json>
+
+Covered in CI by tests/test_two_process_dp.py (slow marker).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_STEPS = 3
+PER_HOST_BATCH = 2
+NUM_HOSTS = 2
+IMG = 33
+N_IMAGES = NUM_HOSTS * PER_HOST_BATCH * N_STEPS
+
+
+def _dataset():
+    """Deterministic synthetic split, index-addressable like the loader."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    images = rng.standard_normal((N_IMAGES, IMG, IMG, 3)).astype(np.float32)
+    targets = rng.integers(0, 4, size=(N_IMAGES, IMG, IMG)).astype(np.int32)
+    return images, targets
+
+
+def _build_step():
+    """Tiny flagship-shaped PPNet + the production phase-1 train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from scaleprotoseg_tpu.models.deeplab import DeepLabV2
+    from scaleprotoseg_tpu.models.ppnet import PPNet
+    from scaleprotoseg_tpu.spec import ProtoSpec
+    from scaleprotoseg_tpu.train.optim import (
+        label_params, make_phase_optimizer, partition_params, phase_groups,
+        poly_schedule)
+    from scaleprotoseg_tpu.train.state import TrainState
+    from scaleprotoseg_tpu.train.steps import LossWeights, make_train_step
+
+    spec = ProtoSpec.equal_allocation(24, 8, num_classes=3, num_scales=4)
+    backbone = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1),
+                         aspp_mode="concat")
+    model = PPNet(backbone=backbone, spec=spec,
+                  backbone_channels=spec.feature_depth)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, IMG, IMG, 3)))
+    hp = dict(warm_lr_add_on=2.5e-3, warm_lr_protos=2.5e-3, warm_wd=5e-4,
+              joint_lr_features=1e-3, joint_lr_add_on=2.5e-3,
+              joint_lr_protos=2.5e-3, joint_wd=5e-4, last_layer_lr=2.5e-3,
+              warm_lr_group=2.5e-3, joint_lr_group=2.5e-3)
+    groups = phase_groups("multiscale", 1, hp)
+    trainable, _ = partition_params(variables["params"], set(groups))
+    tx = make_phase_optimizer(groups, label_params(trainable),
+                              schedule=poly_schedule(0.9, N_STEPS))
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats"),
+                              tx.init(trainable))
+    step = make_train_step(model, spec, tx, set(groups),
+                           LossWeights(crs_ent=1.0, kld=0.25, l1=1e-4),
+                           donate=False)
+    return state, step
+
+
+def _global_batches(images, targets):
+    """Global batch layout as assembled from per-host shards: device d of
+    the 2-device mesh holds host d's rows (loader stride
+    ``idx[host_id::num_hosts]``)."""
+    for k in range(N_STEPS):
+        rows = []
+        for host in range(NUM_HOSTS):
+            idx = list(range(host, N_IMAGES, NUM_HOSTS))
+            rows.extend(idx[k * PER_HOST_BATCH:(k + 1) * PER_HOST_BATCH])
+        yield images[rows], targets[rows]
+
+
+def run_worker(pid: int, port: int, out_path: str):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(f"127.0.0.1:{port}",
+                               num_processes=NUM_HOSTS, process_id=pid)
+    assert jax.process_count() == NUM_HOSTS
+    assert jax.device_count() == NUM_HOSTS  # 1 CPU device per process
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scaleprotoseg_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    state, step = _build_step()
+
+    images, targets = _dataset()
+    # per-host shard: exactly the loader's idx[host_id::num_hosts] stream
+    my_idx = list(range(pid, N_IMAGES, NUM_HOSTS))
+
+    losses = []
+    for k in range(N_STEPS):
+        rows = my_idx[k * PER_HOST_BATCH:(k + 1) * PER_HOST_BATCH]
+        local_img, local_tgt = images[rows], targets[rows]
+        g_img = jax.make_array_from_process_local_data(
+            batch_sh, local_img,
+            (PER_HOST_BATCH * NUM_HOSTS,) + local_img.shape[1:])
+        g_tgt = jax.make_array_from_process_local_data(
+            batch_sh, local_tgt,
+            (PER_HOST_BATCH * NUM_HOSTS,) + local_tgt.shape[1:])
+        state, metrics = step(state, g_img, g_tgt)
+        losses.append(float(metrics["loss"]))  # loss is replicated
+
+    if pid == 0:
+        with open(out_path, "w") as f:
+            json.dump({"losses": losses}, f)
+    jax.distributed.shutdown()
+
+
+def run_single_process():
+    """The same trajectory on one process (2 virtual devices)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from scaleprotoseg_tpu.parallel import create_mesh, shard_batch
+
+    mesh = create_mesh(n_devices=2)
+    state, step = _build_step()
+    images, targets = _dataset()
+    losses = []
+    for img, tgt in _global_batches(images, targets):
+        s_img, s_tgt = shard_batch((jnp.asarray(img), jnp.asarray(tgt)),
+                                   mesh)
+        state, metrics = step(state, s_img, s_tgt)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def orchestrate(tol: float = 1e-5) -> dict:
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = os.path.join(tempfile.mkdtemp(), "mp_losses.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)  # workers use 1 real cpu device each
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "worker", str(pid),
+         str(port), out], env=env, cwd=REPO)
+        for pid in range(NUM_HOSTS)]
+    rcs = [p.wait(timeout=1200) for p in procs]
+    assert all(rc == 0 for rc in rcs), f"worker exit codes: {rcs}"
+    with open(out) as f:
+        mp_losses = json.load(f)["losses"]
+
+    sp_losses = run_single_process()
+    import numpy as np
+    np.testing.assert_allclose(mp_losses, sp_losses, rtol=tol, atol=tol)
+    return {"two_process": mp_losses, "single_process": sp_losses}
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        run_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        result = orchestrate()
+        print(json.dumps(result))
+        print("two-process DP trajectory == single-process: OK")
