@@ -59,7 +59,7 @@ def main():
     tgt = jnp.asarray(rng.integers(0, spec.num_classes + 1, (batch, h, w)),
                       jnp.int32)
 
-    def build_state_step(m, weights, trainable_only=None):
+    def build_state_step(m, weights, trainable_only=None, remat=False):
         groups = phase_groups("multiscale", 1, mhp["hp"])
         if trainable_only is not None:
             groups = {k: v for k, v in groups.items()
@@ -71,7 +71,7 @@ def main():
                                   variables.get("batch_stats"),
                                   tx.init(trainable))
         step = make_train_step(m, spec, tx, set(groups), weights,
-                               donate=False)
+                               donate=False, remat=remat)
         return state, step
 
     weights = mhp["weights"]
@@ -114,6 +114,14 @@ def main():
     state_f, step_f = build_state_step(fast_model, weights)
     timed("step_fast", lambda s, i, t: step_f(s, i, t)[1]["loss"],
           state_f, img, tgt)
+
+    # 3b. remat variants of the full step
+    state_r, step_r = build_state_step(model, weights, remat=True)
+    timed("step_xla_remat", lambda s, i, t: step_r(s, i, t)[1]["loss"],
+          state_r, img, tgt)
+    state_fr, step_fr = build_state_step(fast_model, weights, remat=True)
+    timed("step_fast_remat", lambda s, i, t: step_fr(s, i, t)[1]["loss"],
+          state_fr, img, tgt)
 
     # 4. KLD cost
     state_n, step_n = build_state_step(

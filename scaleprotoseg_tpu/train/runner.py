@@ -92,8 +92,36 @@ class PhaseResult:
 
 
 class PhaseTrainer:
+    """Phase orchestrator.  TPU perf knobs (gin, all default off so the
+    parity-tested fp32/XLA path is what configs get unless asked):
+
+      train.compute_dtype = 'bfloat16'   # conv/matmul compute dtype
+      train.fast_aspp = True             # fused Pallas ASPP fwd + VJP
+                                          (measured -16% step time,
+                                          benchmarks/bench_backward.py)
+      train.remat = True                 # rematerialized backward
+                                          (faster AND smaller on v5e)
+    """
+
     def __init__(self, model, spec, variant: str, model_dir: str,
                  hparams: Dict, logger=None, mesh=None, log=print):
+        self.remat = bool(configlib.query("train", "remat", False))
+        dt_name = configlib.query("train", "compute_dtype", None)
+        fast = bool(configlib.query("train", "fast_aspp", False))
+        if dt_name or fast:
+            repl = {}
+            if dt_name:
+                repl["dtype"] = {"bfloat16": jnp.bfloat16,
+                                 "float32": jnp.float32}[dt_name]
+            brepl = dict(repl)
+            if fast and hasattr(model.backbone, "fast_aspp"):
+                brepl["fast_aspp"] = True
+            model = dataclasses.replace(
+                model, **repl,
+                backbone=dataclasses.replace(model.backbone, **brepl))
+            log(f"TPU perf knobs: compute_dtype={dt_name or 'default'} "
+                f"fast_aspp={brepl.get('fast_aspp', False)} "
+                f"remat={self.remat}")
         self.model = model
         self.spec = spec
         self.variant = variant
@@ -177,7 +205,8 @@ class PhaseTrainer:
             self.model, self.spec, tx, set(groups), hp["weights"],
             ignore_void=hp["ignore_void_class"], train_bn=train_bn,
             grad_mask_last_group=grad_mask,
-            project_group_simplex=(variant == "group"))
+            project_group_simplex=(variant == "group"),
+            remat=self.remat)
         eval_fn = make_eval_step(self.model, self.spec, hp["weights"],
                                  ignore_void=hp["ignore_void_class"])
 

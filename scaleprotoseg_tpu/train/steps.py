@@ -132,10 +132,22 @@ def make_train_step(model: PPNet, spec: ProtoSpec, optimizer,
                     grad_mask_last_group: bool = False,
                     project_group_simplex: bool = False,
                     class_weights: Optional[np.ndarray] = None,
-                    donate: bool = True):
-    """Build the jitted train step for one phase."""
+                    donate: bool = True, remat: bool = False):
+    """Build the jitted train step for one phase.
+
+    ``remat``: rematerialize the model forward during the backward pass
+    (``jax.checkpoint``).  On v5e at the cityscapes joint config this is
+    FASTER than storing activations (45.7 vs ~49 ms grad time measured,
+    benchmarks/bench_backward.py) on top of the memory saving — the
+    backward becomes compute-bound instead of HBM-bound.  Ignored when
+    ``train_bn=True`` (mutable batch_stats don't thread through
+    jax.checkpoint)."""
     trainable_labels = frozenset(trainable_labels)
     cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    apply_fwd = lambda v, image: model.apply(v, image, train=True)  # noqa: E731
+    if remat and not train_bn:
+        apply_fwd = jax.checkpoint(apply_fwd)
 
     def step(state: TrainState, image, target):
         trainable, frozen = partition_params(state.params, trainable_labels)
@@ -151,7 +163,7 @@ def make_train_step(model: PPNet, spec: ProtoSpec, optimizer,
                     mutable=["batch_stats"])
                 new_bs = mutated["batch_stats"]
             else:
-                outputs = model.apply(variables, image, train=True)
+                outputs = apply_fwd(variables, image)
                 new_bs = state.batch_stats
             loss, metrics = compute_losses(
                 model, spec, params, outputs, target, weights, ignore_void,

@@ -215,3 +215,58 @@ def test_eval_step_and_data_parallel_mesh(rng):
     em = eval_step(new_state, image, target)
     assert np.isfinite(float(em["loss"]))
     assert float(em["n_patches"]) == 8 * 9 * 9
+
+
+def test_remat_step_matches_plain(rng):
+    """remat=True (jax.checkpoint over the forward) must not change the
+    step's numerics — only its memory/compute schedule."""
+    model, spec, variables = _build()
+    image, target = _batch(rng)
+    results = []
+    for remat in (False, True):
+        state, step = _make_state_and_step(model, spec, variables,
+                                           "multiscale", 1, remat=remat)
+        new_state, metrics = step(state, image, target)
+        results.append((float(metrics["loss"]),
+                        np.asarray(new_state.params["prototype_vectors"])))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_phase_trainer_perf_knobs(tmp_path, rng):
+    """train.compute_dtype / train.fast_aspp / train.remat gin knobs:
+    the trainer swaps the model's compute dtype, engages remat, and a
+    step still runs (fast_aspp only engages on TPU — here it just sets
+    the flag)."""
+    from scaleprotoseg_tpu import configlib
+    from scaleprotoseg_tpu.train.runner import PhaseTrainer, module_hparams
+
+    model, spec, variables = _build()
+    configlib.clear_config()
+    configlib.parse_config("""
+train.compute_dtype = 'bfloat16'
+train.fast_aspp = True
+train.remat = True
+PatchClassificationModuleMultiScale.loss_weight_kld = 0.25
+""")
+    try:
+        mhp = module_hparams("multiscale")
+        trainer = PhaseTrainer(model, spec, "multiscale", str(tmp_path),
+                               mhp, log=lambda *a: None)
+        assert trainer.model.dtype == jnp.bfloat16
+        assert trainer.model.backbone.dtype == jnp.bfloat16
+        assert trainer.model.backbone.fast_aspp is True
+        assert trainer.remat is True
+
+        class OneBatchLoader(list):
+            pass
+
+        image, target = _batch(rng)
+        loader = OneBatchLoader([(np.asarray(image), np.asarray(target))])
+        res = trainer.run_phase(variables, phase=0, max_steps=1,
+                                train_loader=loader, val_loader=loader,
+                                resume=False)
+        assert res.steps_done == 1
+    finally:
+        configlib.clear_config()
