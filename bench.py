@@ -94,10 +94,10 @@ def main():
         logits = model.apply(variables, x, method="fast_logits")
         return jnp.argmax(logits, axis=-1)
 
-    data = np.random.default_rng(0).random((8, 1024, 2048, 3))
+    data = np.random.default_rng(0).random((16, 1024, 2048, 3))
     best = 0.0
     best_x = None
-    for batch in (2, 4, 8):
+    for batch in (4, 8, 16):
         x = jnp.asarray(data[:batch], jnp.bfloat16)
         # two passes per shape: the hosted-TPU tunnel throughput varies
         # run-to-run; keep the best steady-state measurement

@@ -24,7 +24,29 @@ import argparse
 import numpy as np
 
 
-def convert_reference(src: str, dst: str, variant_hint: str = "auto") -> str:
+def _install_run_config(dst: str, config: str):
+    """Copy the named experiment config into the run dir as config.gin so
+    eval/analysis CLIs can rebuild the model (the reference copies the
+    config at train time, train_wandb_multiscale.py:187; a converted
+    Zenodo run never trained here, so the converter installs it)."""
+    import os
+    import shutil
+
+    ckpt_dir = os.path.dirname(os.path.abspath(dst))
+    run_dir = os.path.dirname(ckpt_dir) \
+        if os.path.basename(ckpt_dir) == "checkpoints" else ckpt_dir
+    src_cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "configs", f"{config}.gin")
+    if not os.path.exists(src_cfg):
+        raise FileNotFoundError(f"no such experiment config: {src_cfg}")
+    os.makedirs(run_dir, exist_ok=True)
+    out = os.path.join(run_dir, "config.gin")
+    shutil.copyfile(src_cfg, out)
+    print(f"Installed {config}.gin as {out}")
+
+
+def convert_reference(src: str, dst: str, variant_hint: str = "auto",
+                      config: str = None) -> str:
     from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
     from scaleprotoseg_tpu.checkpoints.torch_convert import (
         load_reference_pickle_with_meta, ppnet_statedict_to_params,
@@ -40,6 +62,8 @@ def convert_reference(src: str, dst: str, variant_hint: str = "auto") -> str:
     save_checkpoint(dst, params, batch_stats, spec=spec,
                     extra={"variant": variant, "source": src,
                            "converted_from": "reference_pickle"})
+    if config:
+        _install_run_config(dst, config)
     print(f"Converted {src} -> {dst} "
           f"({spec.num_prototypes} prototypes, {spec.num_classes} classes,"
           f" {spec.num_scales} scales, variant={variant})")
@@ -74,9 +98,13 @@ def main():
     p.add_argument("dst")
     p.add_argument("--variant", default="auto",
                    choices=["auto", "single", "multiscale", "group"])
+    p.add_argument("--config", default=None,
+                   help="experiment config name (e.g. "
+                   "group_scaleproto_cityscapes) to install as the run's "
+                   "config.gin so eval/analysis can rebuild the model")
     a = p.parse_args()
     if a.kind == "reference":
-        convert_reference(a.src, a.dst, a.variant)
+        convert_reference(a.src, a.dst, a.variant, config=a.config)
     else:
         convert_torchvision(a.src, a.dst)
 

@@ -86,6 +86,16 @@ def run_evaluation(model_name: str, training_phase: str,
                    results_root: Optional[str] = None,
                    fast: bool = True,
                    shape_multiple: Optional[int] = None) -> dict:
+    if shape_multiple is None and data_type == "ade":
+        # ADE's aspect-preserving short-side-512 protocol yields ~100s of
+        # distinct eval shapes; each costs a full-forward XLA compile
+        # (~11.6 s measured, benchmarks/bench_eval_datasets.py).  Rounding
+        # to 64 collapses them to a handful at sub-percent deviation;
+        # pass shape_multiple=0 for the reference-exact protocol (the
+        # Zenodo parity gate).
+        shape_multiple = 64
+    if shape_multiple == 0:
+        shape_multiple = None
     model_path = os.path.join(results_root or settings.results_dir(),
                               model_name)
     checkpoint = resolve_checkpoint(model_path, training_phase)
@@ -354,10 +364,14 @@ def main():
     p.add_argument("--margin", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--data-root", default=None)
+    p.add_argument("--shape-multiple", type=int, default=None,
+                   help="round variable eval shapes to this multiple "
+                   "(fewer XLA compiles; default 64 for ade, exact "
+                   "otherwise; 0 forces the reference-exact protocol)")
     a = p.parse_args()
     run_evaluation(a.model_name, a.training_phase, a.batch_size,
                    a.data_type, margin=a.margin, limit=a.limit,
-                   data_root=a.data_root)
+                   data_root=a.data_root, shape_multiple=a.shape_multiple)
 
 
 if __name__ == "__main__":

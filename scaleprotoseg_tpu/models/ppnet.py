@@ -31,7 +31,8 @@ import numpy as np
 
 from scaleprotoseg_tpu.ops.prototype import (
     distance_to_similarity, scale_l2_distances)
-from scaleprotoseg_tpu.ops.resize import resize_bilinear
+from scaleprotoseg_tpu.ops.resize import (resize_bilinear,
+                                          resize_bilinear_factor)
 from scaleprotoseg_tpu.ops.simplex import projection_simplex_sort_masked
 from scaleprotoseg_tpu.spec import ProtoSpec
 
@@ -220,10 +221,11 @@ class PPNet(nn.Module):
         base = self.features(x, train_bn)
         if not self.msc_scales:
             return base
-        b, h, w, _ = x.shape
         pyramid = []
         for p in self.msc_scales:
-            xp = resize_bilinear(x, int(h * p), int(w * p))
+            # scale_factor semantics, not size semantics (ref
+            # utils.py:101 F.interpolate(x, scale_factor=p))
+            xp = resize_bilinear_factor(x, p)
             pyramid.append(self.features(xp, train_bn))
         hb, wb = base.shape[1], base.shape[2]
         fused = base

@@ -74,9 +74,48 @@ def resize_label_nearest(label: jax.Array, height: int,
 
 
 def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
-    """Bilinear resize of (..., H, W, C) matching torch align_corners=False."""
+    """Bilinear resize of (..., H, W, C) matching torch
+    ``F.interpolate(mode='bilinear', align_corners=False)``.
+
+    ``antialias=False`` is parity-critical on DOWNSCALES (the MSC input
+    pyramid, utils.py:96-101): torch's interpolate never antialiases,
+    while jax.image.resize defaults to a widened antialiasing kernel
+    when shrinking — pinned by the MSC trajectory-parity test."""
     out_shape = x.shape[:-3] + (height, width, x.shape[-1])
-    return jax.image.resize(x, out_shape, method="linear")
+    return jax.image.resize(x, out_shape, method="linear",
+                            antialias=False)
+
+
+def resize_bilinear_factor(x: jax.Array, factor: float) -> jax.Array:
+    """Bilinear resize matching torch ``F.interpolate(x, scale_factor=p,
+    align_corners=False, recompute_scale_factor=False)``.
+
+    Parity-critical for the MSC input pyramid (ref utils.py:101): with a
+    ``scale_factor``, torch maps output pixel o to input coordinate
+    ``(o + 0.5)/p - 0.5`` using EXACTLY ``1/p`` — not in_size/out_size —
+    so for odd sizes (513 -> 256) the sampling grid differs from a
+    size-based resize.  Implemented as two separable 1-D interpolation
+    matrices applied by einsum (dense, exact; the op runs on 3-channel
+    input images, so the matrices are negligible)."""
+    h, w = x.shape[-3], x.shape[-2]
+    out_h, out_w = int(h * factor), int(w * factor)
+
+    def interp_matrix(out_size, in_size):
+        dst = np.arange(out_size, dtype=np.float64)
+        src = np.clip((dst + 0.5) / factor - 0.5, 0, in_size - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, in_size - 1)
+        t = src - lo
+        m = np.zeros((out_size, in_size), np.float32)
+        m[np.arange(out_size), lo] += (1 - t)
+        m[np.arange(out_size), hi] += t
+        return jnp.asarray(m)
+
+    my = interp_matrix(out_h, h)
+    mx = interp_matrix(out_w, w)
+    y = jnp.einsum("oh,...hwc->...owc", my, x.astype(jnp.float32))
+    y = jnp.einsum("pw,...owc->...opc", mx, y)
+    return y.astype(x.dtype)
 
 
 def bilinear_sample(arr: jax.Array, rows: jax.Array, cols: jax.Array,

@@ -328,3 +328,73 @@ def test_pruned_irregular_spec_conversion(tmp_path):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out.logits), exp_logits,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_convert_checkpoint_cli_chain(tmp_path, monkeypatch):
+    """The documented Zenodo command chain, end-to-end at toy scale:
+    ``python -m scaleprotoseg_tpu.convert_checkpoint reference <pth>
+    results/<run>/checkpoints/<phase>.ckpt`` followed by the eval CLI's
+    checkpoint resolution + model rebuild + forward.  (Flagship-scale
+    numerics are covered by test_flagship_scale_conversion_parity.)"""
+    import sys
+
+    from scaleprotoseg_tpu import convert_checkpoint
+    from scaleprotoseg_tpu.model_loading import (load_model,
+                                                 resolve_checkpoint)
+
+    model, _ = _build_reference_style_module()
+    src = tmp_path / "push_final.pth"
+    torch.save(model, str(src))
+    _pop_fake_modules()
+    run_dir = tmp_path / "results" / "zenodo_run"
+    dst = run_dir / "checkpoints" / "push_final.ckpt"
+    dst.parent.mkdir(parents=True)
+
+    monkeypatch.setattr(sys, "argv", [
+        "convert_checkpoint", "reference", str(src), str(dst)])
+    convert_checkpoint.main()
+    assert resolve_checkpoint(str(run_dir), "push_final") == str(dst)
+
+    # the toy module's architecture is not a shipped config: write the
+    # run config the way a user would for their checkpoint's experiment
+    (run_dir / "config.gin").write_text("""
+construct_PPNet.base_architecture = 'tiny_deeplab_test'
+construct_PPNet.prototype_shape = (24, 8, 1, 1)
+construct_PPNet.num_classes = 3
+construct_PPNet.add_on_layers_type = 'deeplab_simple'
+""")
+    from scaleprotoseg_tpu.models.factory import (
+        base_architecture_to_features)
+    base_architecture_to_features["tiny_deeplab_test"] = \
+        lambda pretrained, dtype: (DeepLabV2(
+            n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat",
+            dtype=dtype), 32, ())
+    try:
+        jmodel, spec, variables = load_model(str(run_dir), str(dst))
+        out = jmodel.apply(variables, jnp.zeros((1, 65, 65, 3)))
+        assert out.logits.shape == (1, 9, 9, spec.num_classes)
+    finally:
+        base_architecture_to_features.pop("tiny_deeplab_test")
+
+
+def test_convert_checkpoint_cli_installs_config(tmp_path, monkeypatch):
+    """--config installs the named experiment gin as the run's
+    config.gin (the converted run never trained here, so eval needs it
+    to rebuild the model)."""
+    import sys
+
+    from scaleprotoseg_tpu import convert_checkpoint
+
+    model, _ = _build_reference_style_module()
+    src = tmp_path / "final-group.pth"
+    torch.save(model, str(src))
+    _pop_fake_modules()
+    run_dir = tmp_path / "results" / "zr"
+    dst = run_dir / "checkpoints" / "final-group.ckpt"
+    dst.parent.mkdir(parents=True)
+    monkeypatch.setattr(sys, "argv", [
+        "convert_checkpoint", "reference", str(src), str(dst),
+        "--config", "group_scaleproto_cityscapes"])
+    convert_checkpoint.main()
+    cfg = (run_dir / "config.gin").read_text()
+    assert "construct_PPNet_Group" in cfg
