@@ -47,6 +47,7 @@ def setup(tmp_path_factory):
     return str(results), root
 
 
+@pytest.mark.slow
 def test_consistency_and_stability(setup):
     results, root = setup
     from scaleprotoseg_tpu.analysis.metrics.consistency import \
@@ -63,6 +64,7 @@ def test_consistency_and_stability(setup):
     assert 0.0 <= stab <= 1.0
 
 
+@pytest.mark.slow
 def test_overlaps_and_composition(setup):
     results, root = setup
     from scaleprotoseg_tpu.analysis.prototype_overlap import \
@@ -80,6 +82,7 @@ def test_overlaps_and_composition(setup):
     assert all(len(v) >= 1 for v in comp.values())
 
 
+@pytest.mark.slow
 def test_nearest_and_samples_and_failures(setup):
     results, root = setup
     from scaleprotoseg_tpu.analysis.nearest_img import nearest_img

@@ -172,6 +172,36 @@ def test_resize_bilinear_halfpixel_convention(rng):
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
 
 
+def test_resize_bilinear_downscale_no_antialias(rng):
+    # torch interpolate never antialiases; jax.image.resize does by
+    # default when shrinking — parity requires antialias=False (MSC
+    # pyramid path, ref utils.py:96-101).
+    torch = pytest.importorskip("torch")
+    x = rng.standard_normal((1, 20, 28, 3)).astype(np.float32)
+    got = np.array(resize_bilinear(jnp.asarray(x), 10, 14))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.interpolate(
+        xt, size=(10, 14), mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(got, exp.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("size,factor", [(65, 0.5), (65, 0.75), (32, 0.5)])
+def test_resize_bilinear_factor_matches_torch(rng, size, factor):
+    # scale_factor semantics: torch maps output pixel o to input coord
+    # (o+0.5)/p - 0.5 using exactly 1/p — differs from size-based resize
+    # on odd sizes (ref utils.py:101 F.interpolate(x, scale_factor=p)).
+    from scaleprotoseg_tpu.ops.resize import resize_bilinear_factor
+    torch = pytest.importorskip("torch")
+    x = rng.standard_normal((2, size, size, 3)).astype(np.float32)
+    got = np.array(resize_bilinear_factor(jnp.asarray(x), factor))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.interpolate(
+        xt, scale_factor=factor, mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(got, exp.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-5, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Multi-device sanity (virtual mesh active)
 # ---------------------------------------------------------------------------
