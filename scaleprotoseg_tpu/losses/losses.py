@@ -86,7 +86,10 @@ def pixel_wise_cross_entropy(
     valid = (t >= 0) if ignore_void else jnp.ones_like(t, dtype=bool)
     t_safe = jnp.clip(t, 0, num_classes - 1)
     logp = jax.nn.log_softmax(flat_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0]
+    # one-hot contraction, not take_along_axis: the gather's scatter-add
+    # backward into (N, C) lowers to a serial loop on TPU
+    onehot = jax.nn.one_hot(t_safe, num_classes, dtype=jnp.float32)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if class_weights is not None:
         w = jnp.asarray(class_weights, jnp.float32)[t_safe]
     else:
@@ -116,8 +119,12 @@ def kld_loss(distances: jax.Array, targets: jax.Array,
     kmask = jnp.asarray(spec.class_scale_proto_mask)          # (C, S, k)
     pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
 
-    d_sel = jnp.take(d, jnp.maximum(idx, 0), axis=-1)         # (B,N,C,S,k)
-    d_sel = jnp.transpose(d_sel, (0, 2, 3, 4, 1))             # (B,C,S,k,N)
+    # one-hot einsum instead of take(): exact (a single 1.0 per row) and
+    # the backward is a matmul — a gather's scatter-add backward lowers
+    # to a serial loop on TPU (measured ~7 ms/step at the cityscapes
+    # joint config; padded rows select 0, masked by pair_mask below)
+    sel = jnp.asarray(spec.class_scale_proto_onehot)          # (C,S,k,P)
+    d_sel = jnp.einsum("bnp,cskp->bcskn", d, sel)             # (B,C,S,k,N)
     pm = pixmask[:, :, None, None, :]                         # (B,C,1,1,N)
     logp = _masked_log_softmax(d_sel, pm)                     # (B,C,S,k,N)
     prob = jnp.exp(logp) * pm                                 # (B,C,S,k,N)

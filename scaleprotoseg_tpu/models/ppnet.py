@@ -276,10 +276,13 @@ class PPNet(nn.Module):
         activations: (..., P) -> (..., C, G)
         """
         spec = self.spec
-        idx = jnp.asarray(np.maximum(spec.class_proto_index, 0))
-        act_sel = jnp.take(activations, idx, axis=-1)      # (..., C, Pc)
-        scores = jnp.einsum("...cp,cgp->...cg", act_sel,
-                            self.group_projection,
+        # Scatter the (C, G, Pc) weights into full-P columns once (tiny)
+        # so the per-pixel contraction is a plain matmul over P — a
+        # take() of the (..., P) activations would backprop via TPU's
+        # serial scatter-add in the full-joint group phase.
+        sel = jnp.asarray(spec.class_proto_onehot)         # (C, Pc, P)
+        w_full = jnp.einsum("cgq,cqp->cgp", self.group_projection, sel)
+        scores = jnp.einsum("...p,cgp->...cg", activations, w_full,
                             preferred_element_type=jnp.float32)
         out = jnp.exp(scores)
         # Classes without prototypes are absent from the reference's packed

@@ -175,6 +175,35 @@ class ProtoSpec:
         return (self.class_scale_proto_index >= 0).astype(np.float32)
 
     @functools.cached_property
+    def class_proto_onehot(self) -> np.ndarray:
+        """(C, Pc_max, P) float32 one-hot selection of
+        ``class_proto_index`` (all-zero rows at -1 padding).  Same
+        rationale as ``class_scale_proto_onehot``: keeps gathers of
+        (..., P) activation tensors expressible as matmuls so the
+        backward never scatters."""
+        idx = self.class_proto_index
+        out = np.zeros(idx.shape + (self.num_prototypes,), np.float32)
+        c, q = np.nonzero(idx >= 0)
+        out[c, q, idx[c, q]] = 1.0
+        return out
+
+    @functools.cached_property
+    def class_scale_proto_onehot(self) -> np.ndarray:
+        """(C, S, k_max, P) float32 one-hot selection of
+        ``class_scale_proto_index`` (all-zero rows at -1 padding).
+
+        Gathering (B, N, P) arrays along P with the index tensor has a
+        scatter-add backward, which lowers to a serial loop on TPU; a
+        one-hot einsum is exact (single 1.0 per row) and both directions
+        are matmuls.
+        """
+        idx = self.class_scale_proto_index
+        out = np.zeros(idx.shape + (self.num_prototypes,), np.float32)
+        c, s, k = np.nonzero(idx >= 0)
+        out[c, s, k, idx[c, s, k]] = 1.0
+        return out
+
+    @functools.cached_property
     def class_scale_counts(self) -> np.ndarray:
         """(C, S) int32 prototype counts per (class, scale)."""
         return self.class_scale_proto_mask.sum(axis=-1).astype(np.int32)
