@@ -115,7 +115,6 @@ def kld_loss(distances: jax.Array, targets: jax.Array,
     the image and the (class, scale) cell has >= 2 prototypes.
     """
     d = _flatten_pixels(distances).astype(jnp.float32)        # (B, N, P)
-    idx = jnp.asarray(spec.class_scale_proto_index)           # (C, S, k)
     kmask = jnp.asarray(spec.class_scale_proto_mask)          # (C, S, k)
     pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
 
@@ -137,7 +136,7 @@ def kld_loss(distances: jax.Array, targets: jax.Array,
     sym = 0.5 * (kl_jl + jnp.swapaxes(kl_jl, -1, -2))         # (B,C,S,k,k)
     value = jnp.exp(-sym)
 
-    k = idx.shape[-1]
+    k = kmask.shape[-1]
     upper = jnp.triu(jnp.ones((k, k), jnp.float32), 1)
     pair_mask = (kmask[..., :, None] * kmask[..., None, :] *
                  upper[None, None])                           # (C,S,k,k)
@@ -155,12 +154,12 @@ def entropy_sampl_loss(activations: jax.Array, targets: jax.Array,
     normalized by log(k), averaged over class pixels then over
     (image, present class, scale) cells."""
     a = _flatten_pixels(activations).astype(jnp.float32)      # (B, N, P)
-    idx = jnp.asarray(spec.class_scale_proto_index)           # (C, S, k)
     kmask = jnp.asarray(spec.class_scale_proto_mask)
     k_counts = jnp.asarray(spec.class_scale_counts, jnp.float32)  # (C, S)
     pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
 
-    a_sel = jnp.take(a, jnp.maximum(idx, 0), axis=-1)         # (B,N,C,S,k)
+    sel = jnp.asarray(spec.class_scale_proto_onehot)          # (C,S,k,P)
+    a_sel = jnp.einsum("bnp,cskp->bncsk", a, sel)             # scatter-free
     logp = _masked_log_softmax(a_sel, kmask[None, None])      # over k
     prob = jnp.exp(logp) * kmask[None, None]
     log_norm = jnp.log(jnp.maximum(k_counts, 2.0))            # guard k<2
@@ -183,12 +182,11 @@ def entropy_spat_loss(activations: jax.Array, targets: jax.Array,
     class's pixels, normalized by log(n_pixels), averaged over the class's
     prototypes then over (image, class) with >= 2 class pixels."""
     a = _flatten_pixels(activations).astype(jnp.float32)      # (B, N, P)
-    idx = jnp.asarray(spec.class_proto_index)                 # (C, Pc)
     pcmask = jnp.asarray(spec.class_proto_mask)               # (C, Pc)
     pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
 
-    a_sel = jnp.take(a, jnp.maximum(idx, 0), axis=-1)         # (B,N,C,Pc)
-    a_sel = jnp.transpose(a_sel, (0, 2, 3, 1))                # (B,C,Pc,N)
+    sel = jnp.asarray(spec.class_proto_onehot)                # (C,Pc,P)
+    a_sel = jnp.einsum("bnp,cqp->bcqn", a, sel)               # (B,C,Pc,N)
     pm = pixmask[:, :, None, :]                               # (B,C,1,N)
     logp = _masked_log_softmax(a_sel, pm)
     prob = jnp.exp(logp) * pm
@@ -210,12 +208,11 @@ def norm_loss(activations: jax.Array, targets: jax.Array, spec: ProtoSpec,
     """Mean L1-per-pixel (or Linf) of class-prototype activations over the
     class's pixels, averaged over prototypes then (image, present class)."""
     a = _flatten_pixels(activations).astype(jnp.float32)
-    idx = jnp.asarray(spec.class_proto_index)
     pcmask = jnp.asarray(spec.class_proto_mask)
     pixmask, counts = _class_pixel_mask(targets, spec.num_classes)
 
-    a_sel = jnp.take(a, jnp.maximum(idx, 0), axis=-1)         # (B,N,C,Pc)
-    a_sel = jnp.transpose(a_sel, (0, 2, 3, 1))                # (B,C,Pc,N)
+    sel = jnp.asarray(spec.class_proto_onehot)                # (C,Pc,P)
+    a_sel = jnp.einsum("bnp,cqp->bcqn", a, sel)               # (B,C,Pc,N)
     pm = pixmask[:, :, None, :]
     if norm_type == "l1":
         per_proto = jnp.sum(jnp.abs(a_sel) * pm, axis=-1) / \
