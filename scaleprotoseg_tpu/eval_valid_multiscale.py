@@ -114,14 +114,10 @@ def run_evaluation(model_name: str, training_phase: str,
         configlib.parse_config_file(run_config)
     mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
                                                  None))
-    if fast and mesh.devices.size > 1:
-        # The fused Pallas ASPP is an opaque custom call to GSPMD: a
-        # batch-sharded eval would replicate/all-gather the 2048-channel
-        # feature map around it, losing the data-parallel win.  The XLA
-        # head partitions cleanly, so multi-chip eval uses it instead.
-        log(f"data-parallel x{mesh.devices.size}: disabling the fused "
-            "Pallas ASPP (not GSPMD-partitionable); using the XLA head")
-        fast = False
+    # The fused Pallas ASPP carries a batch-dim custom_partitioning rule
+    # (ops/pallas_aspp.py fused_aspp_sharded): on a >1-device mesh each
+    # device runs the kernel on its batch shard, so multi-chip eval
+    # keeps both the data-parallel fan-out and the fused head.
     model, spec, variables = load_model(model_path, checkpoint,
                                         dtype=jnp.bfloat16, fast=fast)
     dataset_path = data_root or settings.data_path(data_type)

@@ -55,9 +55,12 @@ def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     conv stack).
 
     NOTE: use the XLA ASPP path (``fast_aspp=False``, the default) with
-    spatial sharding — the fused Pallas ASPP is an opaque custom call to
-    GSPMD, so XLA would insert a full all-gather of the 2048-channel
-    feature map around it instead of halo exchanges."""
+    spatial sharding — the fused Pallas ASPP declares only a BATCH-dim
+    partitioning rule (``ops/pallas_aspp.fused_aspp_sharded``): batch-
+    sharded eval/training compose with the fused kernel, but an
+    H-sharded input would be replicated around it (halo reads span H),
+    so spatially-sharded inference must keep the XLA form, which GSPMD
+    partitions with automatic halo exchanges."""
     return NamedSharding(mesh, P(None, axis_name))
 
 

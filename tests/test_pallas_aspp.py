@@ -115,6 +115,32 @@ def test_aspp_fast_path_module_interpret(rng, mode, monkeypatch):
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
 
 
+def test_fused_aspp_sharded_batch_mesh(rng):
+    """The custom_partitioning wrapper must run the kernel per batch
+    shard on a multi-device mesh and match the unsharded kernel
+    bit-for-bit (batch elements are independent grid steps)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from scaleprotoseg_tpu.ops.pallas_aspp import (fused_aspp,
+                                                   fused_aspp_sharded)
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device conftest mesh")
+    rates = (2, 4)
+    x = jnp.asarray(rng.random((len(devs), 9, 11, 96)), jnp.float32)
+    weights = [jnp.asarray(rng.random((3, 3, 96, 16)) * 0.05, jnp.float32)
+               for _ in rates]
+    biases = [jnp.asarray(rng.random((16,)), jnp.float32) for _ in rates]
+    ref = np.asarray(fused_aspp(x, weights, biases, rates=rates,
+                                tile_rows=4, interpret=True))
+    mesh = Mesh(np.asarray(devs), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    fn = jax.jit(lambda x, w, b: fused_aspp_sharded(
+        x, w, b, rates=rates, tile_rows=4, interpret=True))
+    out = fn(xs, weights, biases)
+    assert out.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(jax.device_get(out)), ref)
+
+
 def test_fused_aspp_trainable_vjp_matches_xla_ad(rng):
     """The custom VJP (manual shifted-matmul transpose) must match AD
     through the dilated-conv golden for dx, dW, db."""
