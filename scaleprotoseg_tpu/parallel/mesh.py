@@ -12,13 +12,31 @@ component here.  Design (SURVEY.md §5.8):
   the sharding propagation (no hand-written collectives needed for DP),
 - push/eval fan out as data-parallel sharded scans over the dataset.
 
+Which parallelism axes apply to this architecture (and which don't):
+
+- **dp** (batch): the workhorse — every config's global batch scales
+  with the mesh (``cli_common.data_parallel_batch``).
+- **sp** (spatial, ``create_mesh_2d``): the conv-net analog of tensor/
+  sequence parallelism.  ~98% of the FLOPs are ResNet-101 convolutions,
+  whose natural model-parallel axis is the image plane: H-sharding makes
+  GSPMD partition every conv with halo exchanges over ICI, in the
+  forward AND the backward (weight gradients psum over both axes).
+  Activation memory per device scales down with the ``space`` axis, so
+  windows larger than one chip's HBM train without remat.
+- **tp** of the prototype head is deliberately absent: the bank is
+  (P<=2184, 64) fp32 — kilobytes — and the head is <2% of FLOPs;
+  sharding it would trade an all-gather for nothing.
+- **pp/ep** are not applicable: no expert layers exist, and a
+  single-path conv net at these sizes has no pipeline stage long enough
+  to hide a bubble (the whole forward is ~10 ms).
+
 Multi-host: call ``jax.distributed.initialize()`` before ``create_mesh``
 and feed per-host shards (``loader.py`` handles host sharding).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -62,6 +80,53 @@ def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     so spatially-sharded inference must keep the XLA form, which GSPMD
     partitions with automatic halo exchanges."""
     return NamedSharding(mesh, P(None, axis_name))
+
+
+def create_mesh_2d(n_data: int, n_space: int,
+                   devices: Optional[Sequence] = None,
+                   axis_names: Tuple[str, str] = ("data", "space")) -> Mesh:
+    """(n_data, n_space) mesh for combined batch + spatial parallelism.
+
+    Training over it: shard images/targets with ``spatial_batch_sharding``
+    and jit the unchanged train step — GSPMD partitions every conv with
+    halo exchanges along ``space`` (forward and backward) and reduces
+    gradients over both axes.  Lay ``space`` innermost so its halo
+    exchanges ride neighbor ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_space
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_space),
+                axis_names)
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch on the ``data`` axis, image height on ``space``: for NHWC
+    images and (B, H, W) targets alike (dim 0 = batch, dim 1 = height)."""
+    return NamedSharding(mesh, P(*mesh.axis_names[:2]))
+
+
+def shard_batch_2d(batch, mesh: Mesh):
+    """Device-put (image, target, ...) leaves with batch sharded on
+    ``data`` and height on ``space``.
+
+    Requires both divisibilities (B % n_data, H % n_space) — spatial
+    sharding of an indivisible height would silently pad the halo math,
+    so this raises instead (crop or pad the window to a multiple)."""
+    n_data, n_space = (mesh.shape[a] for a in mesh.axis_names[:2])
+    sh = spatial_batch_sharding(mesh)
+
+    def put(x):
+        if x.ndim < 2:
+            return jax.device_put(x, replicate(mesh))
+        if x.shape[0] % n_data or x.shape[1] % n_space:
+            raise ValueError(
+                f"shape {x.shape} does not divide the ({n_data}, "
+                f"{n_space}) data x space mesh on (batch, height)")
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)
 
 
 _REPLICATION_WARNED = set()
