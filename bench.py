@@ -149,11 +149,20 @@ def main():
 def _is_transient(exc: Exception) -> bool:
     """Only the hosted-TPU tunnel's transient failures warrant a retry
     (its compile helper occasionally drops a request with HTTP 500);
-    real errors — bad config, OOM, assertion — must surface once."""
+    real errors — bad config, OOM, assertion — must surface once.
+    Matching is deliberately narrow: whole-word network-failure phrases,
+    not bare substrings (a shape error mentioning '500' or a
+    deterministic ConnectionError from a misconfiguration must not eat
+    minutes of retry)."""
+    import re
+    if isinstance(exc, (ConnectionResetError, ConnectionAbortedError,
+                        BrokenPipeError, TimeoutError)):
+        return True
     msg = f"{type(exc).__name__}: {exc}".lower()
-    return any(s in msg for s in (
-        "500", "unavailable", "deadline", "connection", "socket",
-        "timed out", "timeout", "internal error", "transient"))
+    return re.search(
+        r"http.{0,20}\b500\b|internal server error|\bunavailable\b"
+        r"|deadline exceeded|connection (reset|refused|aborted|closed)"
+        r"|socket (closed|error)|timed.?out|\btransient\b", msg) is not None
 
 
 if __name__ == "__main__":

@@ -34,29 +34,23 @@ COCO_SOURCE = [(480, 640), (426, 640), (640, 480), (500, 375),
                (480, 640), (427, 640), (640, 427), (375, 500)]
 
 
-def _ade_eval_shape(h, w, shape_multiple=None):
-    """The eval resize protocol (eval_valid_multiscale._prepare_image):
-    aspect-preserving short-side 512, optional rounding."""
-    s = 512 / min(h, w)
-    tw, th = int(round(w * s)), int(round(h * s))
-    if shape_multiple:
-        tw = max(shape_multiple, round(tw / shape_multiple) * shape_multiple)
-        th = max(shape_multiple, round(th / shape_multiple) * shape_multiple)
-    return th, tw
-
-
 def regimes():
-    yield "cityscapes", "scaleproto_cityscapes", [(1024, 2048)] * 4, {}
-    yield "pascal", "scaleproto_pascal", [(513, 513)] * 4, {}
-    yield "em", "scaleproto_em", [(512, 512)] * 4, {}
+    # the ADE target shapes use the eval CLI's own resize arithmetic
+    # (single source of truth) so the benchmark cannot drift from what
+    # eval actually compiles
+    from scaleprotoseg_tpu.eval_valid_multiscale import ade_eval_shape
+
+    yield "cityscapes", "scaleproto_cityscapes", [(1024, 2048)] * 4
+    yield "pascal", "scaleproto_pascal", [(513, 513)] * 4
+    yield "em", "scaleproto_em", [(512, 512)] * 4
     yield ("ade_exact", "scaleproto_ade",
-           [_ade_eval_shape(h, w) for h, w in ADE_SOURCE], {})
+           [ade_eval_shape(h, w) for h, w in ADE_SOURCE])
     yield ("ade_mult64", "scaleproto_ade",
-           [_ade_eval_shape(h, w, 64) for h, w in ADE_SOURCE], {})
-    yield "coco", "scaleproto_coco", COCO_SOURCE, {}
+           [ade_eval_shape(h, w, 64) for h, w in ADE_SOURCE])
+    yield "coco", "scaleproto_coco", COCO_SOURCE
 
 
-def bench_regime(name: str, config: str, shapes, opts) -> dict:
+def bench_regime(name: str, config: str, shapes) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -129,11 +123,11 @@ def bench_regime(name: str, config: str, shapes, opts) -> dict:
 
 def main():
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
-    for name, config, shapes, opts in regimes():
+    for name, config, shapes in regimes():
         if only and name not in only:
             continue
         try:
-            print(json.dumps(bench_regime(name, config, shapes, opts)),
+            print(json.dumps(bench_regime(name, config, shapes)),
                   flush=True)
         except Exception as e:
             print(json.dumps({"metric": f"eval_{name}",

@@ -62,6 +62,12 @@ class SegEvaluator:
         self.mesh = mesh
         self.proto_class = None if proto_class is None else \
             np.asarray(proto_class, np.int32)
+        if self.proto_class is not None and not upsample_logits:
+            # purity pixels are drawn at LABEL resolution; without the
+            # logits upsample pred[r, c] would silently clamp out-of-range
+            # indices to the border and corrupt the curve
+            raise ValueError(
+                "proto_class purity requires upsample_logits=True")
 
         @jax.jit
         def step(variables, images, targets, rows, cols):

@@ -49,6 +49,24 @@ def class_names(data_type: str, num_classes: int) -> List[str]:
     return [str(i) for i in range(num_classes)]
 
 
+def ade_eval_shape(h: int, w: int,
+                   shape_multiple: Optional[int] = None
+                   ) -> "tuple[int, int]":
+    """ADE eval target (th, tw): aspect-preserving short-side-512 resize
+    (ref eval_valid_multiscale.py:197-203), optionally rounded to a
+    multiple (see ``_prepare_image``).  Single source of truth — the
+    shape-regime benchmark (benchmarks/bench_eval_datasets.py) measures
+    exactly this arithmetic."""
+    s = 512 / min(h, w)
+    tw, th = int(round(w * s)), int(round(h * s))
+    if shape_multiple:
+        tw = max(shape_multiple, round(tw / shape_multiple)
+                 * shape_multiple)
+        th = max(shape_multiple, round(th / shape_multiple)
+                 * shape_multiple)
+    return th, tw
+
+
 def _prepare_image(img: np.ndarray, ann_shape, data_type: str,
                    shape_multiple: Optional[int] = None) -> np.ndarray:
     """Normalize + dataset-specific eval resizing
@@ -67,14 +85,7 @@ def _prepare_image(img: np.ndarray, ann_shape, data_type: str,
     if data_type == "pascal":
         x = cv2.resize(x, (513, 513), interpolation=cv2.INTER_LINEAR)
     elif data_type == "ade":
-        h, w = x.shape[:2]
-        s = 512 / min(h, w)
-        tw, th = int(round(w * s)), int(round(h * s))
-        if shape_multiple:
-            tw = max(shape_multiple, round(tw / shape_multiple)
-                     * shape_multiple)
-            th = max(shape_multiple, round(th / shape_multiple)
-                     * shape_multiple)
+        th, tw = ade_eval_shape(*x.shape[:2], shape_multiple)
         x = cv2.resize(x, (tw, th), interpolation=cv2.INTER_LINEAR)
     return x
 
@@ -108,18 +119,16 @@ def run_evaluation(model_name: str, training_phase: str,
 
     from scaleprotoseg_tpu import configlib
     from scaleprotoseg_tpu.parallel import create_mesh
-    run_config = os.path.join(model_path, "config.gin")
-    if os.path.exists(run_config):
-        configlib.clear_config()
-        configlib.parse_config_file(run_config)
-    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
-                                                 None))
     # The fused Pallas ASPP carries a batch-dim custom_partitioning rule
     # (ops/pallas_aspp.py fused_aspp_sharded): on a >1-device mesh each
     # device runs the kernel on its batch shard, so multi-chip eval
     # keeps both the data-parallel fan-out and the fused head.
     model, spec, variables = load_model(model_path, checkpoint,
                                         dtype=jnp.bfloat16, fast=fast)
+    # load_model parsed the run's config.gin; query the pinned device
+    # count from it (None = use all visible devices)
+    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
+                                                 None))
     dataset_path = data_root or settings.data_path(data_type)
     img_dir = os.path.join(dataset_path, f"img_with_margin_{margin}", "val")
     ann_dir = os.path.join(dataset_path, "annotations", "val")
@@ -194,9 +203,8 @@ def run_evaluation(model_name: str, training_phase: str,
         log(f"eval artifacts skipped: {e}")
 
     result = evaluator.result()
-    if "top_k_purity_percent" in result:
-        _save_purity_artifacts(result["top_k_purity_percent"],
-                               result["purity_images"], out_dir, log)
+    # the primary outputs (scores + mean) are written FIRST: plotting /
+    # artifact failures must never lose the result of a full-split eval
     names = class_names(data_type, spec.num_classes)
     iou_scores = {names[i]: result["per_class_iou"][i]
                   for i in range(spec.num_classes)}
@@ -204,7 +212,13 @@ def run_evaluation(model_name: str, training_phase: str,
         json.dump(iou_scores, f, indent=2)
     with open(os.path.join(out_dir, "mean_iou.txt"), "w") as f:
         f.write(f"{result['mean_iou']}\n")
-    _save_plots(out_dir, iou_scores, variables, spec)
+    try:
+        if "top_k_purity_percent" in result:
+            _save_purity_artifacts(result["top_k_purity_percent"],
+                                   result["purity_images"], out_dir, log)
+        _save_plots(out_dir, iou_scores, variables, spec)
+    except Exception as e:  # artifacts are best-effort
+        log(f"eval plot artifacts skipped: {e}")
     log(f"mean IoU: {result['mean_iou']:.4f}  "
         f"pixel acc: {result['pixel_accuracy']:.4f}")
     return result

@@ -39,8 +39,10 @@ def load_model(model_path: str, checkpoint_path: str,
                fast: bool = False) -> Tuple[PPNet, ProtoSpec, Dict]:
     """(model, spec, variables) from a run dir's config + checkpoint.
 
-    ``fast=True`` enables the inference-only fused Pallas ASPP on
-    DeepLabV2 backbones (no VJP: reporting/eval call sites only)."""
+    ``fast=True`` enables the fused Pallas ASPP on DeepLabV2 backbones
+    (requires ``dtype=bfloat16``; differentiable via its custom VJP —
+    ops/pallas_aspp.fused_aspp_trainable — and batch-shardable on
+    multi-device meshes via its custom_partitioning rule)."""
     from scaleprotoseg_tpu.cli_common import enable_compilation_cache
     enable_compilation_cache()
     params, batch_stats, meta = load_checkpoint(checkpoint_path)

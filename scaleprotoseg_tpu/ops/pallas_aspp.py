@@ -280,10 +280,10 @@ def _make_fused_aspp_trainable(rates: Tuple[int, ...], tile_rows: int,
         x, weights = res
         b_, h_, w_, c_ = x.shape
         f_ = weights[0].shape[-1]
-        cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
-        g32 = g.astype(cdt)
+        cdt = x.dtype  # matmuls follow the input dtype (bf16 on TPU)
+        gc = g.astype(cdt)
         xb = x.astype(cdt)
-        gp = jnp.pad(g32, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+        gp = jnp.pad(gc, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
         xp = jnp.pad(xb, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
 
         dx = None
@@ -291,7 +291,7 @@ def _make_fused_aspp_trainable(rates: Tuple[int, ...], tile_rows: int,
         dbs = []
         for ri, rate in enumerate(rates):
             g_r_pad = gp[..., ri * f_:(ri + 1) * f_]
-            g_r = g32[..., ri * f_:(ri + 1) * f_]
+            g_r = gc[..., ri * f_:(ri + 1) * f_]
             dw = [[None] * 3 for _ in range(3)]
             for di in range(3):
                 for dj in range(3):

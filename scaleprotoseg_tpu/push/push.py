@@ -95,8 +95,9 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
         winner images are collected on a second pass by running offset, so
         a shuffling or generator-style loader would silently misassign
         prototype vectors.  Enforced: ``shuffle=True`` loaders are
-        refused, and the second pass asserts the first batch is
-        bit-identical to the first pass's.
+        refused, and every batch the second pass consumes is checked
+        bit-identical (blake2b over the raw bytes) against the first
+        pass's batch at the same position.
       dedup: prune exact-duplicate prototypes afterwards (ref :327-335).
       mesh: optional data mesh — the dataset scan (the push hot loop,
         SURVEY.md §3.3) shards each batch's image axis over it, so the
@@ -139,13 +140,18 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
             best_img = np.where(improved, off + b, best_img)
             best_flat = np.where(improved, idxs[b], best_flat)
 
+    import hashlib
+
+    def fingerprint(images) -> tuple:
+        a = np.ascontiguousarray(np.asarray(images))
+        return (a.shape, str(a.dtype),
+                hashlib.blake2b(a.tobytes(), digest_size=16).hexdigest())
+
     from scaleprotoseg_tpu.parallel import BulkFetcher
     fetcher = BulkFetcher(fold, limit=16)
-    first_batch_probe = None
+    batch_prints = []
     for images, targets in push_loader:
-        if first_batch_probe is None:
-            first_batch_probe = (np.asarray(images).shape,
-                                 float(np.asarray(images, np.float64).sum()))
+        batch_prints.append(fingerprint(images))
         fetcher.add((img_offset, images.shape[0],
                      min_step(variables, *place(images, targets))))
         img_offset += images.shape[0]
@@ -157,18 +163,14 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
     winner_set = set(int(i) for i in np.unique(best_img[best_img >= 0]))
     image_cache: Dict[int, np.ndarray] = {}
     offset = 0
-    for images, _ in push_loader:
-        if offset == 0 and first_batch_probe is not None:
-            probe = (np.asarray(images).shape,
-                     float(np.asarray(images, np.float64).sum()))
-            if probe != first_batch_probe:
-                raise RuntimeError(
-                    "push_prototypes: the loader's second pass returned a "
-                    "different first batch than the first pass — the "
-                    "loader must be re-iterable in a fixed order (no "
-                    "shuffling, no exhausted generators), or prototype "
-                    f"vectors would be misassigned ({probe} != "
-                    f"{first_batch_probe})")
+    for i, (images, _) in enumerate(push_loader):
+        if i >= len(batch_prints) or fingerprint(images) != batch_prints[i]:
+            raise RuntimeError(
+                f"push_prototypes: the loader's second pass returned a "
+                f"different batch {i} than the first pass — the loader "
+                "must be re-iterable in a fixed order (no shuffling, no "
+                "exhausted generators), or prototype vectors would be "
+                "misassigned")
         for b in range(images.shape[0]):
             if offset + b in winner_set:
                 image_cache[offset + b] = np.asarray(images[b])

@@ -115,7 +115,16 @@ class PhaseTrainer:
                                  "float32": jnp.float32}[dt_name]
             brepl = dict(repl)
             if fast and hasattr(model.backbone, "fast_aspp"):
-                brepl["fast_aspp"] = True
+                # the fused kernel computes in bf16 and the ASPP module
+                # only takes the fast branch at dtype==bfloat16
+                # (models/deeplab.py) — without it the flag is inert
+                eff_dtype = brepl.get("dtype", model.backbone.dtype)
+                if eff_dtype == jnp.bfloat16:
+                    brepl["fast_aspp"] = True
+                else:
+                    log("WARNING: train.fast_aspp=True requires "
+                        "train.compute_dtype='bfloat16' — the fused "
+                        "ASPP kernel stays DISABLED (XLA path)")
             model = dataclasses.replace(
                 model, **repl,
                 backbone=dataclasses.replace(model.backbone, **brepl))

@@ -78,6 +78,39 @@ def test_non_reiterable_order_detected(tiny):
                         ReshufflingLoader(batches), log=lambda *a: None)
 
 
+class TailReorderingLoader(ListLoader):
+    """Keeps batch 0 fixed but permutes the rest on re-iteration — the
+    corruption a first-batch-only probe cannot see."""
+
+    def __init__(self, batches):
+        super().__init__(batches, shuffle=False)
+        self._epoch = 0
+
+    def __iter__(self):
+        order = self.batches if self._epoch == 0 else \
+            [self.batches[0]] + self.batches[1:][::-1]
+        self._epoch += 1
+        return iter(order)
+
+
+def test_tail_reordering_detected(tiny):
+    """Every batch the second pass consumes is fingerprint-checked, not
+    just the first: class 1 appears only from batch 1 on, so its winner
+    image forces the second pass past batch 0, where the reordered tail
+    must be caught."""
+    model, spec, variables, _ = tiny
+    rng = np.random.default_rng(1)
+
+    def batch(label):  # raw labels: 0=void, class c at c+1
+        return (rng.standard_normal((2, 33, 33, 3)).astype(np.float32),
+                np.full((2, 33, 33), label, np.int32))
+
+    batches = [batch(1), batch(2), batch(2)]
+    with pytest.raises(RuntimeError, match="second pass"):
+        push_prototypes(model, variables, spec,
+                        TailReorderingLoader(batches), log=lambda *a: None)
+
+
 def test_artifact_set_matches_reference(tiny, tmp_path):
     model, spec, variables, batches = tiny
     out = str(tmp_path / "prototypes")

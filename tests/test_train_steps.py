@@ -270,3 +270,28 @@ PatchClassificationModuleMultiScale.loss_weight_kld = 0.25
         assert res.steps_done == 1
     finally:
         configlib.clear_config()
+
+
+def test_fast_aspp_without_bf16_warns_and_stays_off(tmp_path):
+    """train.fast_aspp=True without train.compute_dtype='bfloat16' is
+    inert (the ASPP module only takes the fused branch at bf16) — the
+    trainer must say so loudly instead of logging it as engaged."""
+    from scaleprotoseg_tpu import configlib
+    from scaleprotoseg_tpu.train.runner import PhaseTrainer, module_hparams
+
+    model, spec, _ = _build()
+    configlib.clear_config()
+    configlib.parse_config("""
+train.fast_aspp = True
+PatchClassificationModuleMultiScale.loss_weight_kld = 0.25
+""")
+    try:
+        msgs = []
+        mhp = module_hparams("multiscale")
+        trainer = PhaseTrainer(model, spec, "multiscale", str(tmp_path),
+                               mhp, log=msgs.append)
+        assert trainer.model.backbone.fast_aspp is False
+        assert any("DISABLED" in m for m in msgs), msgs
+        assert any("fast_aspp=False" in m for m in msgs), msgs
+    finally:
+        configlib.clear_config()
