@@ -125,3 +125,20 @@ def test_confusion_matrix_einsum_exact():
         (t[valid] * C + pred[valid]).ravel(), minlength=C * C
     ).reshape(C, C).astype(np.float64)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_ade_eval_shape_protocol():
+    """Single source of truth for the ADE eval resize arithmetic
+    (shared by the eval CLI and benchmarks/bench_eval_datasets.py):
+    aspect-preserving short-side-512, optional multiple-of rounding."""
+    from scaleprotoseg_tpu.eval_valid_multiscale import ade_eval_shape
+
+    # exact protocol: short side -> 512, other side scaled + rounded
+    assert ade_eval_shape(512, 683) == (512, 683)
+    assert ade_eval_shape(426, 640) == (512, 769)   # 640*512/426 = 769.2
+    assert ade_eval_shape(1024, 2048) == (512, 1024)
+    # rounding collapses near-identical shapes (the compile-count fix)
+    assert ade_eval_shape(426, 640, 64) == (512, 768)
+    assert ade_eval_shape(512, 683, 64) == (512, 704)  # 683 -> 10.67 -> 11*64
+    # never rounds to zero
+    assert ade_eval_shape(512, 520, 512) == (512, 512)
