@@ -143,9 +143,12 @@ def run_evaluation(model_name: str, training_phase: str,
             f"-> {batch_size}")
     # purity accumulates over the WHOLE split inside the same eval pass
     # (ref eval_valid_multiscale.py:255-269 loops every val image)
-    evaluator = SegEvaluator(model, spec.num_classes, mesh=mesh,
-                             proto_class=np.argmax(spec.class_identity,
-                                                   axis=1))
+    # proto_class follows the distance layout (active prototypes only —
+    # floor-division-leftover bank rows never appear in model outputs)
+    evaluator = SegEvaluator(
+        model, spec.num_classes, mesh=mesh,
+        proto_class=np.argmax(
+            spec.class_identity[:spec.num_active_prototypes], axis=1))
     # batch images of identical shape together (variable-size datasets
     # like ADE fall back to singleton shape buckets)
     pending_imgs, pending_anns, pending_shape = [], [], None

@@ -33,7 +33,12 @@ from scaleprotoseg_tpu.spec import ProtoSpec
 VOID_PENALTY = 10e6
 
 
-def _make_void_min_step(model):
+def _make_void_min_step(model, spec: ProtoSpec):
+    # Pad per-image minima from the distance layout (active prototypes)
+    # back to bank width with +inf: dangling floor-division-leftover bank
+    # rows never collect nearest patches (they are absent from forward).
+    pad = spec.num_prototypes - spec.num_active_prototypes
+
     @jax.jit
     def step(variables, images, targets):
         feats, distances = model.apply(variables, images,
@@ -43,8 +48,12 @@ def _make_void_min_step(model):
         masked = distances + VOID_PENALTY * (t < 0)[..., None]
         flat = jnp.swapaxes(
             masked.reshape(masked.shape[0], -1, masked.shape[-1]), 1, 2)
-        return jnp.min(flat, -1), jnp.argmin(flat, -1), \
-            jnp.asarray(distances.shape[1:3])
+        vals, idxs = jnp.min(flat, -1), jnp.argmin(flat, -1)
+        if pad:
+            vals = jnp.pad(vals, ((0, 0), (0, pad)),
+                           constant_values=jnp.inf)
+            idxs = jnp.pad(idxs, ((0, 0), (0, pad)))
+        return vals, idxs, jnp.asarray(distances.shape[1:3])
 
     return step
 
@@ -75,7 +84,7 @@ def find_k_nearest_patches_to_prototypes(
     full-split scan runs data-parallel (same pattern as push).
     """
     P = spec.num_prototypes
-    step = _make_void_min_step(model)
+    step = _make_void_min_step(model, spec)
     proto_class = np.argmax(spec.class_identity, axis=1)
 
     def place(images, targets):

@@ -300,8 +300,12 @@ class PPNet(nn.Module):
                                 preferred_element_type=jnp.float32)
         else:
             group_act = None
-            logits = jnp.einsum("...p,pc->...c", activations,
-                                self.last_layer,
+            # last_layer keeps the full bank's rows (checkpoint parity);
+            # activations carry only the scale-covered prototypes, so
+            # slice to the distance layout (identity except on
+            # floor-division-leftover banks, e.g. COCO group 2054 -> 2052).
+            w = self.last_layer[:self.spec.num_active_prototypes]
+            logits = jnp.einsum("...p,pc->...c", activations, w,
                                 preferred_element_type=jnp.float32)
         return PPNetOutput(logits=logits, distances=distances,
                            activations=activations,

@@ -158,8 +158,12 @@ def fused_proto_logits(features: jax.Array, prototypes: jax.Array,
                          memory_space=pltpu.VMEM),
         ]
     else:
+        # Only scale-covered prototypes reach the logits; zero rows for
+        # floor-division-leftover bank rows (spec.num_active_prototypes)
+        # neutralize their kernel columns, matching the XLA path's slice.
+        A = spec.num_active_prototypes
         wpad = jnp.zeros((Pp, Cp), jnp.float32)
-        wpad = wpad.at[:P, :C].set(last_layer.astype(jnp.float32))
+        wpad = wpad.at[:A, :C].set(last_layer[:A].astype(jnp.float32))
         kernel = functools.partial(_plain_kernel, EPSILON)
         weight_args = (wpad,)
         weight_specs = [pl.BlockSpec((Pp, Cp), lambda i: (0, 0),

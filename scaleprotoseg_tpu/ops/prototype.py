@@ -49,11 +49,14 @@ def scale_l2_distances(features: jax.Array, prototypes: jax.Array,
     p32 = prototypes.astype(jnp.float32)
 
     sizes = {hi - lo for lo, hi in scale_bounds}
-    if len(sizes) == 1 and prototypes.shape[0] == num_scales * sizes.pop():
-        # Regular bank: batch all scales through one einsum.
+    num_active = scale_bounds[-1][1]
+    if len(sizes) == 1 and num_active == num_scales * sizes.pop():
+        # Regular per-scale sizes: batch all scales through one einsum.
+        # Rows past the last bound (floor-division leftovers, e.g. COCO
+        # group 2054 -> 4 x 513) are inactive and simply dropped.
         b, h, w, _ = features.shape
         xs = x32.reshape(b, h, w, num_scales, depth)
-        ps = p32.reshape(num_scales, -1, depth)
+        ps = p32[:num_active].reshape(num_scales, -1, depth)
         x_sq = jnp.sum(xs * xs, axis=-1, keepdims=True)        # (B,H,W,S,1)
         p_sq = jnp.sum(ps * ps, axis=-1)                       # (S,Ps)
         cross = jnp.einsum("bhwsd,spd->bhwsp", xs, ps,

@@ -46,7 +46,13 @@ class PushResult:
 
 
 def _make_min_step(model, spec: ProtoSpec):
-    class_of_proto = jnp.asarray(np.array(spec.class_ids, np.int32))
+    # Distances carry only the scale-covered (active) prototypes; pad the
+    # per-image minima back to bank width with +inf so dangling bank rows
+    # (floor-division leftovers, class -1) never win and stay unpushed.
+    active = spec.num_active_prototypes
+    pad = spec.num_prototypes - active
+    class_of_proto = jnp.asarray(
+        np.array(spec.class_ids[:active], np.int32))
 
     @jax.jit
     def min_step(variables, images, targets):
@@ -58,8 +64,13 @@ def _make_min_step(model, spec: ProtoSpec):
         mask = (t[..., None] == class_of_proto[None, None, None, :])
         masked = jnp.where(mask, distances, distances + MAX_DIST)
         flat = masked.reshape(masked.shape[0], -1, masked.shape[-1])
-        flat = jnp.swapaxes(flat, 1, 2)            # (B, P, h*w)
-        return jnp.min(flat, axis=-1), jnp.argmin(flat, axis=-1)
+        flat = jnp.swapaxes(flat, 1, 2)            # (B, Pa, h*w)
+        vals, idxs = jnp.min(flat, axis=-1), jnp.argmin(flat, axis=-1)
+        if pad:
+            vals = jnp.pad(vals, ((0, 0), (0, pad)),
+                           constant_values=jnp.inf)
+            idxs = jnp.pad(idxs, ((0, 0), (0, pad)))
+        return vals, idxs
 
     return min_step
 

@@ -36,6 +36,29 @@ class ProtoSpec:
     scale_bounds: Tuple[Tuple[int, int], ...]  # per-scale (start, end) ranges
     num_groups: int = 0                   # 0 => no group projection
 
+    def __post_init__(self):
+        # Scale bounds must tile [0, num_active) contiguously in scale
+        # order — that invariant is what lets bank index == position in
+        # the concatenated per-scale distance tensor ("distance layout").
+        pos = 0
+        for lo, hi in self.scale_bounds:
+            if lo != pos or hi < lo:
+                raise ValueError(
+                    f"scale_bounds must be contiguous ascending from 0, "
+                    f"got {self.scale_bounds}")
+            pos = hi
+        if pos > len(self.class_ids):
+            raise ValueError("scale_bounds exceed the prototype bank")
+        # Prototypes past the last scale bound (floor-division leftovers,
+        # e.g. COCO group's 2054 % 4 == 2) never appear in the distance
+        # tensor; they must be unassigned or downstream gathers would
+        # reference rows the model never computes.
+        for p in range(pos, len(self.class_ids)):
+            if self.class_ids[p] >= 0:
+                raise ValueError(
+                    f"prototype {p} has class {self.class_ids[p]} but lies "
+                    f"outside every scale bound (active count {pos})")
+
     # ------------------------------------------------------------------
     # Constructors
     # ------------------------------------------------------------------
@@ -94,6 +117,17 @@ class ProtoSpec:
     @property
     def num_prototypes(self) -> int:
         return len(self.class_ids)
+
+    @property
+    def num_active_prototypes(self) -> int:
+        """Prototypes covered by the scale bounds — the width of the
+        model's concatenated distance/activation tensors.  Equal to
+        ``num_prototypes`` except when floor division leaves a dangling
+        tail (ref model_multiscale.py:152: ``P // S`` per scale, so e.g.
+        the COCO group config's (2054,) bank yields 4 x 513 = 2052 active
+        prototypes; the last 2 are unassigned and never used in forward).
+        """
+        return self.scale_bounds[-1][1] if self.scale_bounds else 0
 
     @property
     def feature_depth(self) -> int:
@@ -176,29 +210,33 @@ class ProtoSpec:
 
     @functools.cached_property
     def class_proto_onehot(self) -> np.ndarray:
-        """(C, Pc_max, P) float32 one-hot selection of
+        """(C, Pc_max, Pa) float32 one-hot selection of
         ``class_proto_index`` (all-zero rows at -1 padding).  Same
         rationale as ``class_scale_proto_onehot``: keeps gathers of
-        (..., P) activation tensors expressible as matmuls so the
-        backward never scatters."""
+        (..., Pa) activation tensors expressible as matmuls so the
+        backward never scatters.  The last dim is the *distance layout*
+        width ``num_active_prototypes`` — what the model actually emits —
+        not the bank size (they differ on floor-division-leftover banks
+        like COCO group's 2054)."""
         idx = self.class_proto_index
-        out = np.zeros(idx.shape + (self.num_prototypes,), np.float32)
+        out = np.zeros(idx.shape + (self.num_active_prototypes,), np.float32)
         c, q = np.nonzero(idx >= 0)
         out[c, q, idx[c, q]] = 1.0
         return out
 
     @functools.cached_property
     def class_scale_proto_onehot(self) -> np.ndarray:
-        """(C, S, k_max, P) float32 one-hot selection of
+        """(C, S, k_max, Pa) float32 one-hot selection of
         ``class_scale_proto_index`` (all-zero rows at -1 padding).
 
-        Gathering (B, N, P) arrays along P with the index tensor has a
-        scatter-add backward, which lowers to a serial loop on TPU; a
-        one-hot einsum is exact (single 1.0 per row) and both directions
-        are matmuls.
+        Gathering (B, N, Pa) arrays along the prototype dim with the index
+        tensor has a scatter-add backward, which lowers to a serial loop
+        on TPU; a one-hot einsum is exact (single 1.0 per row) and both
+        directions are matmuls.  Last dim = ``num_active_prototypes``
+        (distance layout), see ``class_proto_onehot``.
         """
         idx = self.class_scale_proto_index
-        out = np.zeros(idx.shape + (self.num_prototypes,), np.float32)
+        out = np.zeros(idx.shape + (self.num_active_prototypes,), np.float32)
         c, s, k = np.nonzero(idx >= 0)
         out[c, s, k, idx[c, s, k]] = 1.0
         return out

@@ -24,12 +24,17 @@ def test_ade_scale_losses(rng):
 def test_coco_scale_leftover_prototypes(rng):
     # 2054 // 182 // 4 = 2 per (class, scale): 598 prototypes stay
     # unassigned (identity row zero) exactly like the reference's
-    # floor-division allocation (model_multiscale.py:131-141)
+    # floor-division allocation (model_multiscale.py:131-141), and
+    # 2054 // 4 = 513 per scale leaves bank rows 2052-2053 outside every
+    # scale bound — the model's distance tensor is 2052 wide.
     spec = ProtoSpec.equal_allocation(2054, 64, num_classes=182,
                                       num_scales=4, num_groups=3)
     assert spec.class_ids.count(-1) == 2054 - 182 * 4 * 2
     assert (spec.class_counts == 8).all()
-    d = jnp.asarray(rng.random((1, 9, 9, 2054)), jnp.float32)
+    assert spec.num_active_prototypes == 2052
+    assert spec.class_scale_proto_onehot.shape[-1] == 2052
+    # losses consume the model's distance layout (active width)
+    d = jnp.asarray(rng.random((1, 9, 9, 2052)), jnp.float32)
     t = jnp.asarray(rng.integers(0, 183, (1, 9, 9)), jnp.int32)
     v = float(jax.jit(lambda d, t: kld_loss(d, t, spec))(d, t))
     assert np.isfinite(v)
