@@ -156,7 +156,9 @@ def _torch_logits_last_layer(model, dists):
 
 def _torch_logits_grouped(model, dists, spec):
     act = np.log((dists + 1) / (dists + 1e-4))
-    flat = act.reshape(-1, spec.num_prototypes)
+    # distances carry only scale-covered prototypes (== num_prototypes
+    # except on floor-division-leftover banks)
+    flat = act.reshape(-1, spec.num_active_prototypes)
     group_outs = []
     with torch.no_grad():
         for c in range(spec.num_classes):
@@ -239,6 +241,40 @@ def test_reference_group_pickle_roundtrip(tmp_path):
     x = np.random.default_rng(1).standard_normal(
         (1, 33, 33, 3)).astype(np.float32)
     out = jmodel.apply(_jax_variables(params, batch_stats), jnp.asarray(x))
+
+    exp_dists = _torch_distances(model, x, cspec)
+    exp_logits = _torch_logits_grouped(model, exp_dists, cspec)
+    np.testing.assert_allclose(np.asarray(out.logits), exp_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_leftover_bank_group_pickle_roundtrip(tmp_path):
+    """The group_scaleproto_coco regime at toy scale: P % num_scales != 0
+    leaves bank rows outside every scale range (2054 -> 4 x 513 upstream;
+    10 -> 4 x 2 here).  The real Zenodo COCO-group checkpoints have this
+    exact layout, so the conversion chain must carry it: distances are
+    active-width, danglers convert to class -1, and outputs match the
+    reference-semantics torch computation."""
+    model, spec0 = _build_reference_style_module(num_prototypes=10,
+                                                 proto_depth=8,
+                                                 num_classes=2)
+    assert spec0.num_active_prototypes == 8
+    model = _graft_group_head(model, spec0, num_groups=2)
+    params, batch_stats, meta = _roundtrip(model, tmp_path,
+                                           "final-group-leftover")
+    cspec = spec_from_meta(meta["spec"])
+    assert cspec.num_prototypes == 10
+    assert cspec.num_active_prototypes == 8
+    assert cspec.class_ids[8:] == (-1, -1)
+
+    jmodel = PPNet(
+        backbone=DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1),
+                           aspp_mode="concat"),
+        spec=cspec, backbone_channels=32, grouped=True)
+    x = np.random.default_rng(2).standard_normal(
+        (1, 33, 33, 3)).astype(np.float32)
+    out = jmodel.apply(_jax_variables(params, batch_stats), jnp.asarray(x))
+    assert out.distances.shape[-1] == 8
 
     exp_dists = _torch_distances(model, x, cspec)
     exp_logits = _torch_logits_grouped(model, exp_dists, cspec)
