@@ -35,7 +35,7 @@ def nearest_img(model_name: str, training_phase: str, data_type: str,
     if limit:
         ids = ids[:limit]
     distance_fn = make_distance_fn(model)
-    P = spec.num_prototypes
+    P = spec.num_active_prototypes  # model distances are active-width
 
     mins = np.full((len(ids), P), np.inf)
     for i, img_id in enumerate(ids):

@@ -44,7 +44,9 @@ def nearest_proto(model_name: str, training_phase: str, data_type: str,
     for img_id in sample:
         img = np.load(os.path.join(img_dir, img_id + ".npy"))
         d = distance_fn(variables, normalize_image(img))
-        mins = d.reshape(-1, spec.num_prototypes).min(axis=0)
+        # distances are active-width (floor-division-leftover bank
+        # rows never appear in forward)
+        mins = d.reshape(-1, spec.num_active_prototypes).min(axis=0)
         top = np.argsort(mins)[:top_k]
         index[img_id] = [{"proto_id": int(p),
                           "class": int(proto_class[p]),

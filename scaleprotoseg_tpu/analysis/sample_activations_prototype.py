@@ -54,7 +54,8 @@ def sample_activations(model_name: str, training_phase: str,
         pred = np.argmax(logits[0], axis=-1)
         act = activation_from_distance(np.asarray(d[0]))
         # strongest prototypes by max activation
-        top = np.argsort(-act.reshape(-1, spec.num_prototypes).max(0)
+        top = np.argsort(-act.reshape(
+            -1, spec.num_active_prototypes).max(0)
                          )[:protos_per_image]
         k = protos_per_image + 2
         fig, axes = plt.subplots(1, k, figsize=(3 * k, 3))

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scaleprotoseg_tpu.ops.prototype import distance_to_similarity
+from scaleprotoseg_tpu.ops.prototype import (distance_to_similarity,
+                                             pad_minima_to_bank)
 from scaleprotoseg_tpu.ops.resize import resize_label_nearest
 from scaleprotoseg_tpu.spec import ProtoSpec
 
@@ -34,11 +35,9 @@ VOID_PENALTY = 10e6
 
 
 def _make_void_min_step(model, spec: ProtoSpec):
-    # Pad per-image minima from the distance layout (active prototypes)
-    # back to bank width with +inf: dangling floor-division-leftover bank
-    # rows never collect nearest patches (they are absent from forward).
-    pad = spec.num_prototypes - spec.num_active_prototypes
-
+    # Per-image minima are padded from the distance layout back to bank
+    # width with +inf: dangling floor-division-leftover bank rows never
+    # collect nearest patches (they are absent from forward).
     @jax.jit
     def step(variables, images, targets):
         feats, distances = model.apply(variables, images,
@@ -48,11 +47,8 @@ def _make_void_min_step(model, spec: ProtoSpec):
         masked = distances + VOID_PENALTY * (t < 0)[..., None]
         flat = jnp.swapaxes(
             masked.reshape(masked.shape[0], -1, masked.shape[-1]), 1, 2)
-        vals, idxs = jnp.min(flat, -1), jnp.argmin(flat, -1)
-        if pad:
-            vals = jnp.pad(vals, ((0, 0), (0, pad)),
-                           constant_values=jnp.inf)
-            idxs = jnp.pad(idxs, ((0, 0), (0, pad)))
+        vals, idxs = pad_minima_to_bank(jnp.min(flat, -1),
+                                        jnp.argmin(flat, -1), spec)
         return vals, idxs, jnp.asarray(distances.shape[1:3])
 
     return step

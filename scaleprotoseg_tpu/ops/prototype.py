@@ -77,6 +77,18 @@ def scale_l2_distances(features: jax.Array, prototypes: jax.Array,
     return jnp.concatenate(out, axis=-1)
 
 
+def pad_minima_to_bank(vals: jax.Array, idxs: jax.Array, spec) -> Tuple[
+        jax.Array, jax.Array]:
+    """Pad per-image (B, Pa) prototype minima/argmins from the distance
+    layout back to bank width: dangling floor-division-leftover rows get
+    +inf so they can never win a scan (push / find_nearest)."""
+    pad = spec.num_prototypes - spec.num_active_prototypes
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        idxs = jnp.pad(idxs, ((0, 0), (0, pad)))
+    return vals, idxs
+
+
 def distance_to_similarity(distances: jax.Array, activation: str = "log",
                            epsilon: float = EPSILON) -> jax.Array:
     """Distance -> similarity (ref model_multiscale.py:324-330)."""

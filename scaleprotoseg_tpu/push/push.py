@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from scaleprotoseg_tpu.ops.prototype import pad_minima_to_bank
 from scaleprotoseg_tpu.ops.resize import resize_label_nearest
 from scaleprotoseg_tpu.spec import ProtoSpec
 
@@ -46,13 +47,12 @@ class PushResult:
 
 
 def _make_min_step(model, spec: ProtoSpec):
-    # Distances carry only the scale-covered (active) prototypes; pad the
-    # per-image minima back to bank width with +inf so dangling bank rows
-    # (floor-division leftovers, class -1) never win and stay unpushed.
-    active = spec.num_active_prototypes
-    pad = spec.num_prototypes - active
+    # Distances carry only the scale-covered (active) prototypes; the
+    # per-image minima are padded back to bank width with +inf so dangling
+    # bank rows (floor-division leftovers, class -1) never win and stay
+    # unpushed.
     class_of_proto = jnp.asarray(
-        np.array(spec.class_ids[:active], np.int32))
+        np.array(spec.class_ids[:spec.num_active_prototypes], np.int32))
 
     @jax.jit
     def min_step(variables, images, targets):
@@ -65,12 +65,8 @@ def _make_min_step(model, spec: ProtoSpec):
         masked = jnp.where(mask, distances, distances + MAX_DIST)
         flat = masked.reshape(masked.shape[0], -1, masked.shape[-1])
         flat = jnp.swapaxes(flat, 1, 2)            # (B, Pa, h*w)
-        vals, idxs = jnp.min(flat, axis=-1), jnp.argmin(flat, axis=-1)
-        if pad:
-            vals = jnp.pad(vals, ((0, 0), (0, pad)),
-                           constant_values=jnp.inf)
-            idxs = jnp.pad(idxs, ((0, 0), (0, pad)))
-        return vals, idxs
+        return pad_minima_to_bank(jnp.min(flat, axis=-1),
+                                  jnp.argmin(flat, axis=-1), spec)
 
     return min_step
 

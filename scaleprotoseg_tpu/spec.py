@@ -123,9 +123,10 @@ class ProtoSpec:
         """Prototypes covered by the scale bounds — the width of the
         model's concatenated distance/activation tensors.  Equal to
         ``num_prototypes`` except when floor division leaves a dangling
-        tail (ref model_multiscale.py:152: ``P // S`` per scale, so e.g.
-        the COCO group config's (2054,) bank yields 4 x 513 = 2052 active
-        prototypes; the last 2 are unassigned and never used in forward).
+        tail (ref segmentation/model/model_multiscale_group.py:152:
+        ``P // S`` per scale, so e.g. the COCO group config's (2054,)
+        bank yields 4 x 513 = 2052 active prototypes; the last 2 are
+        unassigned and never used in forward).
         """
         return self.scale_bounds[-1][1] if self.scale_bounds else 0
 

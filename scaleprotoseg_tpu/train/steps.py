@@ -93,7 +93,11 @@ def _losses_for_output(out: PPNetOutput, target_full, spec: ProtoSpec,
     else:
         kld = L.kld_loss(out.distances, target, spec) \
             if w.kld > 0 else jnp.float32(0)
-        l1 = L.last_layer_l1(params["last_layer"], spec.class_identity)
+        # slice to the active rows: dangling floor-division-leftover bank
+        # rows never reach the logits, so they carry no L1 penalty either
+        a = spec.num_active_prototypes
+        l1 = L.last_layer_l1(params["last_layer"][:a],
+                             spec.class_identity[:a])
         ent = L.entropy_sampl_loss(out.activations, target, spec) \
             if w.entropy > 0 else jnp.float32(0)
         nrm = L.norm_loss(out.activations, target, spec) \

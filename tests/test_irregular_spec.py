@@ -124,6 +124,12 @@ def test_train_step_irregular_all_losses(rng, grouped):
     target = jnp.asarray(rng.integers(0, 3, (2, 65, 65)), jnp.int32)
     new_state, metrics = step(state, image, target)
     assert np.isfinite(float(metrics["loss"]))
+    if not grouped:
+        # the L1 sparsity term covers only the active rows — dangling
+        # bank rows never reach the logits so they carry no penalty
+        w = np.asarray(state.params["last_layer"])[:8]
+        want = np.abs(w * (1 - spec.class_identity[:8])).sum()
+        np.testing.assert_allclose(float(metrics["l1"]), want, rtol=1e-5)
     changed = any(
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree_util.tree_leaves(state.params),
