@@ -106,3 +106,33 @@ def test_push_projects_onto_real_patches(dataset_root, tmp_path):
                                method="push_forward")
     dmin = float(np.min(np.asarray(dists)[0, :, :, p]))
     assert dmin < 1e-6, dmin
+
+
+def test_irregular_bank_pipeline(dataset_root, tmp_path):
+    """Full CLI pipeline with a floor-division-leftover bank (10
+    prototypes over 4 scales -> 8 active), the group_scaleproto_coco
+    layout at toy scale: train -> push -> finetune runs, danglers stay
+    unpushed, and the final checkpoint round-trips the irregular spec."""
+    from scaleprotoseg_tpu.train_wandb_multiscale import train
+    cfg = tmp_path / "tiny_irr.gin"
+    cfg.write_text(TINY_EM_CONFIG.replace(
+        "construct_PPNet.prototype_shape = (24, 8, 1, 1)",
+        "construct_PPNet.prototype_shape = (10, 8, 1, 1)"
+    ).replace("train.joint_steps = 6", "train.joint_steps = 2"
+              ).replace("train.finetune_steps = 4",
+                        "train.finetune_steps = 1"))
+    final = train(str(cfg), "irr_run", data_root=dataset_root,
+                  num_workers=2)
+    results_dir = os.path.dirname(os.path.dirname(final))
+    info = np.load(os.path.join(results_dir, "prototypes",
+                                "push_info.npz"))
+    assert info["best_img"].shape[0] == 10
+    assert (info["best_img"][8:] == -1).all()      # danglers unpushed
+    assert (info["best_img"][:8] >= 0).all()
+
+    from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
+                                                  spec_from_meta)
+    params, _, meta = load_checkpoint(final)
+    spec = spec_from_meta(meta["spec"])
+    assert spec.num_active_prototypes == spec.scale_bounds[-1][1]
+    assert params["prototype_vectors"].shape[0] == spec.num_prototypes
