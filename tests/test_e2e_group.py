@@ -96,3 +96,56 @@ def test_group_finetune_pipeline(dataset_root, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(out_pruned.logits),
                                np.asarray(out_ref.logits),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_group_finetune_irregular_bank(dataset_root, tmp_path,
+                                       monkeypatch):
+    """Group bootstrap + pruning on a floor-division-leftover bank (10
+    prototypes over 4 scales, the group_scaleproto_coco layout at toy
+    scale): the proto checkpoint's irregular spec carries into the group
+    model, training keeps the simplex, and run_pruning drops the
+    dangling rows (their k-nearest purity is zero — they never appear in
+    forward) with a loadable result."""
+    monkeypatch.setenv("RESULTS_DIR", str(tmp_path / "results"))
+    from scaleprotoseg_tpu.train_wandb_multiscale import train as train_proto
+    from scaleprotoseg_tpu.finetune_wandb_group import train as train_group
+
+    irr = ("construct_PPNet.prototype_shape = (24, 8, 1, 1)",
+           "construct_PPNet.prototype_shape = (10, 8, 1, 1)")
+    proto_cfg = tmp_path / "tiny_em_irr.gin"
+    proto_cfg.write_text(TINY_EM_CONFIG.replace(*irr).replace(
+        "train.joint_steps = 6", "train.joint_steps = 2").replace(
+        "train.finetune_steps = 4", "train.finetune_steps = 0"))
+    proto_ckpt = train_proto(str(proto_cfg), "proto_irr",
+                             data_root=dataset_root, num_workers=2)
+
+    group_cfg = tmp_path / "tiny_group_irr.gin"
+    group_cfg.write_text(TINY_GROUP_CONFIG.replace(
+        "construct_PPNet_Group.prototype_shape = (24, 8, 1, 1)",
+        "construct_PPNet_Group.prototype_shape = (10, 8, 1, 1)").replace(
+        "train.joint_steps = 4", "train.joint_steps = 2"))
+    final = train_group(str(group_cfg), "group_irr",
+                        start_checkpoint=proto_ckpt,
+                        data_root=dataset_root, num_workers=2)
+
+    from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
+                                                  spec_from_meta)
+    params, _, meta = load_checkpoint(final)
+    spec = spec_from_meta(meta["spec"])
+    assert spec.num_active_prototypes < spec.num_prototypes
+    gw = np.asarray(params["group_projection"])
+    np.testing.assert_allclose(gw.sum(-1), 1.0, rtol=1e-4)
+
+    from scaleprotoseg_tpu.model_loading import load_model
+    from scaleprotoseg_tpu.run_pruning import run_pruning
+    pruned_path = run_pruning(str(group_cfg), "group_irr", k=3,
+                              prune_threshold=1, push_batch_size=2,
+                              data_root=dataset_root)
+    model1, spec1, vars1 = load_model(
+        os.path.dirname(os.path.dirname(final)), pruned_path)
+    # the dangling rows can never reach their purity threshold (they
+    # collect no nearest patches), so pruning removes them
+    assert spec1.num_prototypes <= spec.num_active_prototypes
+    assert spec1.num_active_prototypes == spec1.num_prototypes
+    assert vars1["params"]["prototype_vectors"].shape[0] == \
+        spec1.num_prototypes
