@@ -76,3 +76,81 @@ def test_train_package_entry_shim():
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr[-500:]
     assert "--pruned" in out.stdout
+
+
+ALL_CONFIGS = sorted(
+    os.path.basename(f)[:-4]
+    for f in glob.glob(os.path.join(CONFIGS, "*.gin")))
+
+
+@pytest.mark.parametrize("name", ALL_CONFIGS)
+def test_config_joint_train_step_traces(name):
+    """Abstractly trace every shipped config's REAL joint train step
+    (forward + every enabled loss + grads + optimizer) at the config's
+    own window/batch/head widths via jax.eval_shape — zero compute, so
+    ResNet-101-depth configs stay cheap on CPU.  This is the gate that
+    would have caught the group_scaleproto_coco 2052-vs-2054 einsum
+    crash (leftover-bank widths only appear at the real config shapes).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from scaleprotoseg_tpu.models.factory import construct_ppnet
+    from scaleprotoseg_tpu.train.optim import (label_params,
+                                               make_phase_optimizer,
+                                               partition_params,
+                                               phase_groups,
+                                               poly_schedule)
+    from scaleprotoseg_tpu.train.runner import module_hparams
+    from scaleprotoseg_tpu.train.state import TrainState
+    from scaleprotoseg_tpu.train.steps import make_train_step
+
+    configlib.parse_config_file(os.path.join(CONFIGS, name + ".gin"))
+    # variant sniffing mirrors benchmarks/bench_configs.py: a "baseline"
+    # name does not imply single-scale (the reference's baseline_coco is
+    # the multiscale model; scaleproto_coco is the single-scale one)
+    if configlib.query("construct_PPNet_Group", "prototype_shape", None):
+        variant = "group"
+        model, spec = construct_PPNet_Group(pretrained=False)
+    elif configlib.query("PPNetMultiScale", "num_scales", None):
+        variant = "multiscale"
+        model, spec = construct_PPNet(variant="multiscale",
+                                      pretrained=False)
+    else:
+        variant = "single"
+        model, spec = construct_PPNet(variant="single", pretrained=False)
+    mhp = module_hparams(variant)
+    window = configlib.query("PatchClassificationDataset", "window_size",
+                             (513, 513))
+    h, w = int(window[0]), int(window[1])
+    batch = 2  # shape bugs are batch-independent; keep the trace small
+
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, h, w, 3)), train=True),
+        jax.random.PRNGKey(0))
+    groups = phase_groups(variant, 1, mhp["hp"],
+                          joint_last=mhp["joint_last"],
+                          joint_no_proto=mhp["joint_no_proto"],
+                          has_scale_head=model.scale_head_type is not None)
+    trainable_s, _ = partition_params(shapes["params"], set(groups))
+    tx = make_phase_optimizer(groups, label_params(trainable_s),
+                              schedule=poly_schedule(
+                                  mhp["poly_lr_power"], 1000),
+                              iter_size=mhp.get("iter_size", 1))
+    step = make_train_step(model, spec, tx, set(groups), mhp["weights"],
+                           ignore_void=mhp["ignore_void_class"],
+                           project_group_simplex=(variant == "group"),
+                           grad_mask_last_group=(variant == "group"),
+                           donate=False)
+
+    def run(params_and_stats):
+        state = TrainState.create(params_and_stats["params"],
+                                  params_and_stats.get("batch_stats"),
+                                  tx.init(trainable_s))
+        img = jnp.zeros((batch, h, w, 3), jnp.float32)
+        tgt = jnp.zeros((batch, h, w), jnp.int32)
+        _, metrics = step(state, img, tgt)
+        return metrics["loss"]
+
+    out = jax.eval_shape(run, shapes)
+    assert out.shape == () and out.dtype == jnp.float32
