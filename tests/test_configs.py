@@ -154,3 +154,26 @@ def test_config_joint_train_step_traces(name):
 
     out = jax.eval_shape(run, shapes)
     assert out.shape == () and out.dtype == jnp.float32
+
+    # the other two per-config device programs: eval step and push scan
+    from scaleprotoseg_tpu.push.push import _make_min_step
+    from scaleprotoseg_tpu.train.steps import make_eval_step
+
+    def run_eval_and_push(params_and_stats):
+        state = TrainState.create(params_and_stats["params"],
+                                  params_and_stats.get("batch_stats"),
+                                  tx.init(trainable_s))
+        img = jnp.zeros((batch, h, w, 3), jnp.float32)
+        tgt = jnp.zeros((batch, h, w), jnp.int32)
+        ev = make_eval_step(model, spec, mhp["weights"],
+                            ignore_void=mhp["ignore_void_class"])
+        metrics = ev(state, img, tgt)
+        variables = {"params": params_and_stats["params"]}
+        if params_and_stats.get("batch_stats"):
+            variables["batch_stats"] = params_and_stats["batch_stats"]
+        vals, idxs = _make_min_step(model, spec)(variables, img, tgt)
+        return metrics["loss"], vals
+
+    loss_s, vals_s = jax.eval_shape(run_eval_and_push, shapes)
+    assert loss_s.shape == ()
+    assert vals_s.shape == (batch, spec.num_prototypes)
