@@ -1,0 +1,211 @@
+"""AOT export of the inference forward to a portable StableHLO artifact.
+
+``jax.export`` lowers the jitted forward once and serializes the
+resulting StableHLO module with a versioned calling convention; a
+serving host deserializes and runs it without the model definition,
+the gin config stack, or tracing.  Weights are NOT baked into the
+module as constants — the exported function takes ``(variables, x)``,
+and the artifact directory carries the weights in the repo's standard
+checkpoint format (`checkpoints/io.py`), so the module stays small and
+the same artifact can be re-pointed at pushed/pruned weights of the
+same shape.
+
+Artifact layout (a directory)::
+
+    module.bin         jax.export serialized bytes (StableHLO + vjp-free
+                       calling convention)
+    weights.ckpt[.json] params/batch_stats (checkpoints.io format)
+    meta.json          input spec, output kind, platforms, model info
+
+Batch handling: ``batch=None`` exports with a symbolic batch dimension
+(``jax.export.symbolic_shape``) so one artifact serves any batch size;
+a fixed ``batch`` pins it and additionally allows the fused Pallas
+head/ASPP fast path (``fast=True``), whose kernel grids need static
+shapes.  The reference's counterpart surface is the eval forward of
+`segmentation/eval_valid_multiscale.py:118-131` (logits upsampled to
+input resolution, argmax over classes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
+                                              save_checkpoint,
+                                              spec_from_meta)
+from scaleprotoseg_tpu.ops.resize import resize_bilinear
+
+_FORMAT = "scaleprotoseg_tpu/serving/v1"
+
+
+def make_serving_fn(model, *, output: str = "labels",
+                    upsample: bool = True, fast: bool = False):
+    """The inference forward to export: ``fn(variables, x) -> labels``.
+
+    ``output='labels'`` argmaxes on device (int32 (B, H, W) — 1 byte of
+    host transfer per ~80 of logits); ``'logits'`` returns the fp32
+    (B, h, w, C) map pre-argmax (pre-upsample unless ``upsample``).
+    ``fast`` routes through the fused Pallas head (TPU only, static
+    batch only).
+    """
+    if output not in ("labels", "logits"):
+        raise ValueError(f"output must be labels|logits, got {output!r}")
+
+    def fn(variables, x):
+        if fast:
+            logits = model.apply(variables, x, method="fast_logits")
+        else:
+            logits = model.apply(variables, x, train=False).logits
+        if upsample:
+            logits = resize_bilinear(logits, x.shape[1], x.shape[2])
+        if output == "labels":
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return logits
+
+    return fn
+
+
+def export_serving(model, variables, *, height: int, width: int,
+                   batch: Optional[int] = None,
+                   input_dtype=jnp.bfloat16,
+                   output: str = "labels", upsample: bool = True,
+                   fast: bool = False,
+                   platforms: Optional[Sequence[str]] = None):
+    """Lower + serialize the forward; returns ``jax.export.Exported``.
+
+    ``platforms=None`` exports for the current default backend only.
+    ``batch=None`` uses a symbolic batch dim (incompatible with
+    ``fast=True``: the Pallas kernels' grids are shape-static).
+    """
+    from jax import export as jexport
+
+    if fast and batch is None:
+        raise ValueError("fast=True needs a fixed batch: the fused "
+                         "Pallas kernels flatten B*H*W into a static "
+                         "grid")
+    bdim = jexport.symbolic_shape("b")[0] if batch is None else batch
+    x_spec = jax.ShapeDtypeStruct((bdim, height, width, 3), input_dtype)
+    var_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        variables)
+    fn = make_serving_fn(model, output=output, upsample=upsample,
+                         fast=fast)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jax.jit(fn), **kwargs)(var_spec, x_spec)
+
+
+def save_artifact(path: str, exported, variables, spec=None,
+                  extra: Optional[Dict[str, Any]] = None) -> None:
+    """Write the serving artifact directory (see module docstring)."""
+    from jax import export as jexport
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "module.bin.tmp")
+    with open(tmp, "wb") as f:
+        f.write(exported.serialize())
+    os.replace(tmp, os.path.join(path, "module.bin"))
+    save_checkpoint(os.path.join(path, "weights.ckpt"),
+                    variables.get("params", {}),
+                    batch_stats=variables.get("batch_stats"),
+                    spec=spec, extra=extra)
+    # in_avals is the FLATTENED (variables..., x) leaf list; the image
+    # input is the last leaf (fn signature is (variables, x))
+    in_aval = exported.in_avals[-1]
+    meta = {
+        "format": _FORMAT,
+        "input": {
+            "shape": [None if jexport.is_symbolic_dim(d) else int(d)
+                      for d in in_aval.shape],
+            "dtype": jnp.dtype(in_aval.dtype).name,
+        },
+        "output": {
+            "shape": [None if jexport.is_symbolic_dim(d) else int(d)
+                      for d in exported.out_avals[0].shape],
+            "dtype": jnp.dtype(exported.out_avals[0].dtype).name,
+        },
+        "platforms": list(exported.platforms),
+        "extra": extra or {},
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+@dataclasses.dataclass
+class ServingModel:
+    """A loaded artifact: ``predict(x)`` runs the deserialized module."""
+
+    call: Any               # jitted exported.call
+    variables: Dict[str, Any]
+    meta: Dict[str, Any]
+    spec: Any = None
+
+    @property
+    def input_shape(self) -> Tuple[Optional[int], ...]:
+        return tuple(self.meta["input"]["shape"])
+
+    @property
+    def input_dtype(self):
+        return jnp.dtype(self.meta["input"]["dtype"])
+
+    def predict(self, x) -> jax.Array:
+        """Device output (async under jit); ``np.asarray`` it to sync."""
+        x = jnp.asarray(x, self.input_dtype)
+        fixed = self.input_shape[1:]
+        if tuple(x.shape[1:]) != fixed:
+            raise ValueError(f"input {x.shape[1:]} != exported {fixed}")
+        b = self.input_shape[0]
+        if b is not None and x.shape[0] != b:
+            raise ValueError(f"batch {x.shape[0]} != exported {b} "
+                             "(artifact was exported with a fixed batch)")
+        return self.call(self.variables, x)
+
+
+def load_artifact(path: str) -> ServingModel:
+    """Deserialize ``module.bin`` + weights; no model code needed."""
+    from jax import export as jexport
+
+    with open(os.path.join(path, "module.bin"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    params, batch_stats, wmeta = load_checkpoint(
+        os.path.join(path, "weights.ckpt"))
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"not a serving artifact: {meta.get('format')!r}")
+    spec = spec_from_meta(wmeta["spec"]) if "spec" in wmeta else None
+    variables = jax.tree.map(jnp.asarray, variables)
+    return ServingModel(call=jax.jit(exported.call), variables=variables,
+                        meta=meta, spec=spec)
+
+
+def export_from_run(model_path: str, checkpoint_path: str, out_dir: str,
+                    *, height: int, width: int,
+                    batch: Optional[int] = None,
+                    output: str = "labels", fast: bool = False,
+                    input_dtype=jnp.bfloat16,
+                    platforms: Optional[Sequence[str]] = None) -> str:
+    """Run-dir checkpoint -> serving artifact (the deploy one-liner)."""
+    from scaleprotoseg_tpu.model_loading import load_model
+
+    model, spec, variables = load_model(model_path, checkpoint_path,
+                                        dtype=input_dtype, fast=fast)
+    exported = export_serving(model, variables, height=height,
+                              width=width, batch=batch, output=output,
+                              input_dtype=input_dtype, fast=fast,
+                              platforms=platforms)
+    save_artifact(out_dir, exported, variables, spec=spec,
+                  extra={"model_path": model_path,
+                         "checkpoint": checkpoint_path,
+                         "fast": fast})
+    return out_dir

@@ -1,0 +1,173 @@
+"""Serving CLI: stream a directory of images through the model at
+sustained device throughput and write PNG label maps.
+
+Two model sources:
+
+  python -m scaleprotoseg_tpu.serving.serve --artifact DIR ...
+      load a `jax.export` artifact (no model code / config needed);
+
+  python -m scaleprotoseg_tpu.serving.serve MODEL_NAME PHASE ...
+      rebuild from a run directory like the eval CLIs
+      (`eval_test.py`), jit on the fly (fused fast path on TPU).
+
+Add ``--export DIR`` to the second form to write the AOT artifact
+instead of serving (the deploy step).
+
+Input: a directory of ``.npy`` uint8 images (the repo's preprocessed
+format, ref `img_with_margin_0/test`) or ``.png``; all images must
+share one shape — serving runs ONE compiled program.  Output: one
+grayscale PNG of train-id labels per image + a JSON throughput line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from scaleprotoseg_tpu import settings
+from scaleprotoseg_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+
+
+def _list_images(input_dir: str, limit: Optional[int]) -> List[str]:
+    names = sorted(p for p in os.listdir(input_dir)
+                   if p.endswith((".npy", ".png", ".jpg")))
+    if not names:
+        raise FileNotFoundError(f"no .npy/.png/.jpg images in {input_dir}")
+    return names[:limit] if limit else names
+
+
+def _make_preprocess(input_dir: str, margin: int = 0):
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+
+    def preprocess(name: str) -> np.ndarray:
+        path = os.path.join(input_dir, name)
+        if name.endswith(".npy"):
+            img = np.load(path)
+        else:
+            from PIL import Image
+            img = np.asarray(Image.open(path).convert("RGB"))
+        if margin:
+            img = img[margin:-margin, margin:-margin]
+        return (img.astype(np.float32) / 255.0 - mean) / std
+
+    return preprocess
+
+
+def run_serving(predict, names, preprocess, out_dir: str,
+                batch_size: int, workers: int = 2) -> dict:
+    """Stream ``names`` through ``predict``; save PNGs; return stats.
+
+    Timing starts after a one-batch warmup (compile/cache-load excluded
+    — serving steady-state is the metric) and covers the full pipeline
+    including host decode and PNG writes.
+    """
+    from PIL import Image
+
+    from scaleprotoseg_tpu.serving.engine import ServingEngine
+
+    os.makedirs(out_dir, exist_ok=True)
+    engine = ServingEngine(predict, batch_size, preprocess=preprocess,
+                           workers=workers)
+    # warmup: compile + one full pipeline pass on the first batch
+    for _ in engine.run((n, n) for n in names[:batch_size]):
+        pass
+    t0 = time.perf_counter()
+    count = 0
+    for name, pred in engine.run((n, n) for n in names):
+        stem = os.path.splitext(name)[0]
+        Image.fromarray(pred.astype(np.uint8)).convert("L").save(
+            os.path.join(out_dir, f"{stem}.png"))
+        count += 1
+    dt = time.perf_counter() - t0
+    return {"images": count, "seconds": round(dt, 3),
+            "img_per_s": round(count / dt, 3) if dt else None,
+            "batch_size": batch_size, "output_dir": out_dir}
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_name", nargs="?")
+    p.add_argument("training_phase", nargs="?")
+    p.add_argument("--artifact", help="serving artifact dir "
+                   "(alternative to MODEL_NAME PHASE)")
+    p.add_argument("--export", help="write an AOT artifact here and exit")
+    p.add_argument("--input", required=True, help="image directory")
+    p.add_argument("--output", help="prediction directory "
+                   "(default <input>/predictions)")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--limit", type=int)
+    p.add_argument("--margin", type=int, default=0)
+    p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--results-root", help="override settings results dir")
+    p.add_argument("--no-fast", action="store_true",
+                   help="disable the fused Pallas fast path")
+    p.add_argument("--dynamic-batch", action="store_true",
+                   help="export with a symbolic batch dim (XLA path)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    names = _list_images(args.input, args.limit)
+    preprocess = _make_preprocess(args.input, args.margin)
+    probe = preprocess(names[0])
+    h, w = probe.shape[:2]
+    fast = (not args.no_fast) and jax.default_backend() == "tpu"
+
+    if args.artifact:
+        from scaleprotoseg_tpu.serving.export import load_artifact
+        served = load_artifact(args.artifact)
+        if (h, w) != tuple(served.input_shape[1:3]):
+            raise ValueError(f"images are {h}x{w} but the artifact was "
+                             f"exported for {served.input_shape[1:3]}")
+        b = served.input_shape[0]
+        batch = args.batch if b is None else b
+        predict, in_dtype = served.predict, served.input_dtype
+    else:
+        if not (args.model_name and args.training_phase):
+            p.error("need MODEL_NAME TRAINING_PHASE or --artifact")
+        from scaleprotoseg_tpu.model_loading import (load_model,
+                                                     resolve_checkpoint)
+        model_path = os.path.join(
+            args.results_root or settings.results_dir(), args.model_name)
+        ckpt = resolve_checkpoint(model_path, args.training_phase)
+        in_dtype = jnp.bfloat16 if fast else jnp.float32
+        model, spec, variables = load_model(model_path, ckpt,
+                                            dtype=in_dtype, fast=fast)
+        if args.export:
+            from scaleprotoseg_tpu.serving.export import (export_serving,
+                                                          save_artifact)
+            exported = export_serving(
+                model, variables, height=h, width=w,
+                batch=None if args.dynamic_batch else args.batch,
+                input_dtype=in_dtype, fast=fast and not args.dynamic_batch)
+            save_artifact(args.export, exported, variables, spec=spec,
+                          extra={"model_path": model_path,
+                                 "checkpoint": ckpt, "fast": fast})
+            record = {"exported": args.export,
+                      "input": [args.batch, h, w, 3],
+                      "platforms": list(exported.platforms)}
+            print(json.dumps(record))
+            return record
+        from scaleprotoseg_tpu.serving.export import make_serving_fn
+        fn = jax.jit(make_serving_fn(model, fast=fast))
+        predict = lambda x: fn(variables, x)  # noqa: E731
+        batch = args.batch
+
+    out_dir = args.output or os.path.join(args.input, "predictions")
+    cast = lambda name: np.asarray(  # noqa: E731
+        preprocess(name), jnp.dtype(in_dtype))
+    record = run_serving(predict, names, cast, out_dir, batch,
+                         workers=args.workers)
+    print(json.dumps(record))
+    return record
+
+
+if __name__ == "__main__":
+    main()

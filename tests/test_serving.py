@@ -1,0 +1,160 @@
+"""Serving: AOT export round-trips + the pipelined streaming engine.
+
+The exported StableHLO module must reproduce the jitted forward exactly
+(same program, one lowering), survive serialize -> deserialize -> run,
+and serve any batch size when exported with a symbolic batch dim.  The
+engine must preserve input order, trim tail padding, and agree with
+per-item direct calls.  Reference counterpart surface: the eval forward
+of `segmentation/eval_valid_multiscale.py:118-131`; the reference has
+no deployable-artifact path (SURVEY.md §5).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scaleprotoseg_tpu.models.deeplab import DeepLabV2
+from scaleprotoseg_tpu.models.ppnet import PPNet
+from scaleprotoseg_tpu.serving import (ServingEngine, export_serving,
+                                       load_artifact, make_serving_fn,
+                                       save_artifact)
+from scaleprotoseg_tpu.spec import ProtoSpec
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    spec = ProtoSpec.equal_allocation(8, 8, num_classes=2, num_scales=4)
+    backbone = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1),
+                         aspp_mode="concat")
+    model = PPNet(backbone=backbone, spec=spec,
+                  backbone_channels=spec.feature_depth)
+    variables = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 33, 33, 3))))
+    return model, spec, variables
+
+
+def _images(n, rng_seed=0, h=33, w=33):
+    rng = np.random.default_rng(rng_seed)
+    return rng.standard_normal((n, h, w, 3)).astype(np.float32)
+
+
+def test_export_fixed_batch_roundtrip(tiny, tmp_path):
+    model, spec, variables = tiny
+    x = _images(2)
+    direct = jax.jit(make_serving_fn(model))(variables, x)
+    assert direct.shape == (2, 33, 33)          # upsampled to input res
+    assert direct.dtype == jnp.int32
+
+    exported = export_serving(model, variables, height=33, width=33,
+                              batch=2, input_dtype=jnp.float32)
+    np.testing.assert_array_equal(exported.call(variables, x), direct)
+
+    art = str(tmp_path / "artifact")
+    save_artifact(art, exported, variables, spec=spec,
+                  extra={"note": "test"})
+    assert sorted(os.listdir(art)) == [
+        "meta.json", "module.bin", "weights.ckpt", "weights.ckpt.json"]
+    served = load_artifact(art)
+    assert served.input_shape == (2, 33, 33, 3)
+    assert served.spec == spec
+    np.testing.assert_array_equal(np.asarray(served.predict(x)), direct)
+    # shape guards
+    with pytest.raises(ValueError, match="batch"):
+        served.predict(_images(3))
+    with pytest.raises(ValueError, match="exported"):
+        served.predict(_images(2, h=17))
+
+
+def test_export_symbolic_batch_serves_any_batch(tiny, tmp_path):
+    model, spec, variables = tiny
+    exported = export_serving(model, variables, height=33, width=33,
+                              batch=None, input_dtype=jnp.float32)
+    art = str(tmp_path / "artifact")
+    save_artifact(art, exported, variables, spec=spec)
+    served = load_artifact(art)
+    assert served.input_shape[0] is None
+    fn = jax.jit(make_serving_fn(model))
+    for b in (1, 3):
+        x = _images(b, rng_seed=b)
+        np.testing.assert_array_equal(np.asarray(served.predict(x)),
+                                      fn(variables, x))
+
+
+def test_logits_output_mode(tiny):
+    model, spec, variables = tiny
+    x = _images(2)
+    logits = jax.jit(make_serving_fn(model, output="logits",
+                                     upsample=False))(variables, x)
+    assert logits.ndim == 4 and logits.shape[-1] == spec.num_classes
+    assert logits.dtype == jnp.float32
+    # labels mode == argmax of upsampled logits mode
+    up = jax.jit(make_serving_fn(model, output="logits"))(variables, x)
+    labels = jax.jit(make_serving_fn(model))(variables, x)
+    np.testing.assert_array_equal(labels, jnp.argmax(up, axis=-1))
+
+
+def test_fast_requires_fixed_batch(tiny):
+    model, _, variables = tiny
+    with pytest.raises(ValueError, match="fixed batch"):
+        export_serving(model, variables, height=33, width=33,
+                       batch=None, fast=True)
+
+
+def test_engine_order_tail_and_parity(tiny):
+    model, _, variables = tiny
+    fn = jax.jit(make_serving_fn(model))
+    imgs = _images(5, rng_seed=7)
+    preprocess_calls = []
+
+    def preprocess(i):
+        preprocess_calls.append(i)
+        return imgs[i]
+
+    engine = ServingEngine(lambda x: fn(variables, jnp.asarray(x)),
+                           batch_size=2, preprocess=preprocess)
+    out = list(engine.run((f"img{i}", i) for i in range(5)))
+    assert [k for k, _ in out] == [f"img{i}" for i in range(5)]
+    assert sorted(preprocess_calls) == list(range(5))
+    # per-item parity incl. the padded tail item (batch 3 of 2+2+1)
+    direct = np.asarray(fn(variables, jnp.asarray(imgs)))
+    for (key, pred), want in zip(out, direct):
+        np.testing.assert_array_equal(pred, want)
+
+
+def test_engine_rejects_bad_batch():
+    with pytest.raises(ValueError):
+        ServingEngine(lambda x: x, batch_size=0)
+
+
+def test_serve_cli_artifact_path(tiny, tmp_path, capsys):
+    model, spec, variables = tiny
+    exported = export_serving(model, variables, height=33, width=33,
+                              batch=2, input_dtype=jnp.float32)
+    art = str(tmp_path / "artifact")
+    save_artifact(art, exported, variables, spec=spec)
+
+    in_dir = tmp_path / "images"
+    in_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        np.save(in_dir / f"frame_{i}.npy",
+                rng.integers(0, 256, size=(33, 33, 3)).astype(np.uint8))
+    out_dir = str(tmp_path / "preds")
+
+    from scaleprotoseg_tpu.serving.serve import main
+    record = main(["--artifact", art, "--input", str(in_dir),
+                   "--output", out_dir])
+    assert record["images"] == 3
+    assert sorted(os.listdir(out_dir)) == [
+        "frame_0.png", "frame_1.png", "frame_2.png"]
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["images"] == 3
+    # PNG label maps round-trip as uint8 train ids
+    from PIL import Image
+    arr = np.asarray(Image.open(os.path.join(out_dir, "frame_0.png")))
+    assert arr.shape == (33, 33) and arr.max() < spec.num_classes
