@@ -36,13 +36,17 @@ def resolve_checkpoint(model_path: str, training_phase: str) -> str:
 
 def load_model(model_path: str, checkpoint_path: str,
                dtype=jnp.float32,
-               fast: bool = False) -> Tuple[PPNet, ProtoSpec, Dict]:
+               fast: bool = False,
+               quant8: bool = False) -> Tuple[PPNet, ProtoSpec, Dict]:
     """(model, spec, variables) from a run dir's config + checkpoint.
 
     ``fast=True`` enables the fused Pallas ASPP on DeepLabV2 backbones
     (requires ``dtype=bfloat16``; differentiable via its custom VJP —
     ops/pallas_aspp.fused_aspp_trainable — and batch-shardable on
-    multi-device meshes via its custom_partitioning rule)."""
+    multi-device meshes via its custom_partitioning rule).
+    ``quant8=True`` additionally runs the ResNet convs in dynamic w8a8
+    int8 (`ops/quant.py`) — inference serving only; the param tree is
+    unchanged, so the same checkpoint loads either way."""
     from scaleprotoseg_tpu.cli_common import enable_compilation_cache
     enable_compilation_cache()
     params, batch_stats, meta = load_checkpoint(checkpoint_path)
@@ -79,6 +83,13 @@ def load_model(model_path: str, checkpoint_path: str,
         model = dataclasses.replace(
             model,
             backbone=dataclasses.replace(model.backbone, fast_aspp=True))
+    if quant8:
+        if not hasattr(model.backbone, "quant8"):
+            raise ValueError("quant8 serving needs a DeepLabV2 backbone; "
+                             f"got {type(model.backbone).__name__}")
+        model = dataclasses.replace(
+            model,
+            backbone=dataclasses.replace(model.backbone, quant8=True))
 
     variables = {"params": jax.tree.map(jnp.asarray, params)}
     if batch_stats:

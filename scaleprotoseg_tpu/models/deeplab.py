@@ -41,18 +41,22 @@ class Bottleneck(nn.Module):
     dilation: int
     shortcut: bool
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
         h = ConvBN(self.mid, (1, 1), strides=(self.stride,) * 2,
-                   dtype=self.dtype, name="reduce")(x, train_bn)
+                   dtype=self.dtype, quant8=self.quant8,
+                   name="reduce")(x, train_bn)
         h = ConvBN(self.mid, (3, 3), dilation=(self.dilation,) * 2,
-                   dtype=self.dtype, name="conv3x3")(h, train_bn)
+                   dtype=self.dtype, quant8=self.quant8,
+                   name="conv3x3")(h, train_bn)
         h = ConvBN(self.out, (1, 1), relu=False, dtype=self.dtype,
-                   name="increase")(h, train_bn)
+                   quant8=self.quant8, name="increase")(h, train_bn)
         if self.shortcut:
             s = ConvBN(self.out, (1, 1), strides=(self.stride,) * 2,
-                       relu=False, dtype=self.dtype, name="shortcut")(x, train_bn)
+                       relu=False, dtype=self.dtype, quant8=self.quant8,
+                       name="shortcut")(x, train_bn)
         else:
             s = x
         return nn.relu(h + s)
@@ -65,6 +69,7 @@ class ResLayer(nn.Module):
     stride: int
     dilation: int
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -72,7 +77,8 @@ class ResLayer(nn.Module):
             x = Bottleneck(mid=self.mid, out=self.out,
                            stride=self.stride if i == 0 else 1,
                            dilation=self.dilation, shortcut=(i == 0),
-                           dtype=self.dtype, name=f"block{i + 1}")(x, train_bn)
+                           dtype=self.dtype, quant8=self.quant8,
+                           name=f"block{i + 1}")(x, train_bn)
         return x
 
 
@@ -81,6 +87,7 @@ class Stem(nn.Module):
 
     out: int = 64
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -90,7 +97,7 @@ class Stem(nn.Module):
         # on v5e, so the direct form stays.
         x = ConvBN(self.out, (7, 7), strides=(2, 2),
                    padding=((3, 3), (3, 3)), dtype=self.dtype,
-                   name="conv1")(x, train_bn)
+                   quant8=self.quant8, name="conv1")(x, train_bn)
         return max_pool_ceil(x, window=3, strides=2, padding=1)
 
 
@@ -230,19 +237,25 @@ class DeepLabV2(nn.Module):
     # differentiable via a custom VJP (ops/pallas_aspp.py), so usable in
     # training too; default False keeps the parity-tested XLA form.
     fast_aspp: bool = False
+    # dynamic w8a8 int8 ResNet convs (inference serving only; the ASPP
+    # head stays bf16 via fast_aspp).  2x MXU rate on v5e — see
+    # ops/quant.py; identical param tree, any checkpoint loads.
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
+        q8 = self.quant8 and not train_bn
         ch = [64 * 2 ** p for p in range(6)]
-        x = Stem(out=ch[0], dtype=self.dtype, name="layer1")(x, train_bn)
+        x = Stem(out=ch[0], dtype=self.dtype, quant8=q8,
+                 name="layer1")(x, train_bn)
         x = ResLayer(self.n_blocks[0], ch[0], ch[2], 1, 1,
-                     dtype=self.dtype, name="layer2")(x, train_bn)
+                     dtype=self.dtype, quant8=q8, name="layer2")(x, train_bn)
         x = ResLayer(self.n_blocks[1], ch[1], ch[3], 2, 1,
-                     dtype=self.dtype, name="layer3")(x, train_bn)
+                     dtype=self.dtype, quant8=q8, name="layer3")(x, train_bn)
         x = ResLayer(self.n_blocks[2], ch[2], ch[4], 1, 2,
-                     dtype=self.dtype, name="layer4")(x, train_bn)
+                     dtype=self.dtype, quant8=q8, name="layer4")(x, train_bn)
         x = ResLayer(self.n_blocks[3], ch[3], ch[5], 1, 4,
-                     dtype=self.dtype, name="layer5")(x, train_bn)
+                     dtype=self.dtype, quant8=q8, name="layer5")(x, train_bn)
         return ASPP(self.n_out, self.atrous_rates, self.aspp_mode,
                     dtype=self.dtype, fast=self.fast_aspp,
                     name="aspp")(x)

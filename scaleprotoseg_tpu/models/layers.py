@@ -38,11 +38,35 @@ class _S2DStemConv(nn.Module):
             dtype=jnp.float32).astype(self.dtype)
 
 
+class _QuantConv(nn.Module):
+    """nn.Conv-compatible params (``kernel`` HWIO, no bias), computed as
+    a dynamic w8a8 int8 convolution (`ops/quant.py`).  Same tree path as
+    the fp conv, so any checkpoint loads into either form."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    dilation: Tuple[int, int]
+    padding: Sequence[Tuple[int, int]]
+
+    @nn.compact
+    def __call__(self, x):
+        from scaleprotoseg_tpu.ops.quant import dynamic_int8_conv
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features))
+        return dynamic_int8_conv(x, kernel, strides=self.strides,
+                                 padding=list(self.padding),
+                                 dilation=self.dilation)
+
+
 class ConvBN(nn.Module):
     """Conv -> BatchNorm -> optional ReLU (torch _ConvBnReLU equivalent).
 
     ``s2d_stem=True`` (7x7/2 convs only) computes the conv via
     space-to-depth — same parameters, ~2x faster for RGB stems on TPU.
+    ``quant8=True`` (inference serving) computes the conv in dynamic
+    w8a8 int8 on the MXU at 2x the bf16 rate — identical param tree.
     """
 
     features: int
@@ -53,6 +77,7 @@ class ConvBN(nn.Module):
     relu: bool = True
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -71,10 +96,16 @@ class ConvBN(nn.Module):
             pad = [((kh - 1) * dh // 2,) * 2, ((kw - 1) * dw // 2,) * 2]
         else:
             pad = list(self.padding)
-        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    kernel_dilation=self.dilation, padding=pad,
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv")(x)
+        if self.quant8:
+            x = _QuantConv(self.features, self.kernel_size,
+                           strides=self.strides, dilation=self.dilation,
+                           padding=pad, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, self.kernel_size,
+                        strides=self.strides,
+                        kernel_dilation=self.dilation, padding=pad,
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train_bn, momentum=0.999,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn")(x)

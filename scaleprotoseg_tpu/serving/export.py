@@ -193,13 +193,15 @@ def export_from_run(model_path: str, checkpoint_path: str, out_dir: str,
                     *, height: int, width: int,
                     batch: Optional[int] = None,
                     output: str = "labels", fast: bool = False,
+                    quant8: bool = False,
                     input_dtype=jnp.bfloat16,
                     platforms: Optional[Sequence[str]] = None) -> str:
     """Run-dir checkpoint -> serving artifact (the deploy one-liner)."""
     from scaleprotoseg_tpu.model_loading import load_model
 
     model, spec, variables = load_model(model_path, checkpoint_path,
-                                        dtype=input_dtype, fast=fast)
+                                        dtype=input_dtype, fast=fast,
+                                        quant8=quant8)
     exported = export_serving(model, variables, height=height,
                               width=width, batch=batch, output=output,
                               input_dtype=input_dtype, fast=fast,
@@ -207,5 +209,5 @@ def export_from_run(model_path: str, checkpoint_path: str, out_dir: str,
     save_artifact(out_dir, exported, variables, spec=spec,
                   extra={"model_path": model_path,
                          "checkpoint": checkpoint_path,
-                         "fast": fast})
+                         "fast": fast, "quant8": quant8})
     return out_dir

@@ -107,6 +107,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--results-root", help="override settings results dir")
     p.add_argument("--no-fast", action="store_true",
                    help="disable the fused Pallas fast path")
+    p.add_argument("--quant8", action="store_true",
+                   help="dynamic w8a8 int8 ResNet convs (2x MXU rate; "
+                   "~0.5%% logit perturbation — see ops/quant.py)")
     p.add_argument("--dynamic-batch", action="store_true",
                    help="export with a symbolic batch dim (XLA path)")
     args = p.parse_args(argv)
@@ -139,7 +142,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
         ckpt = resolve_checkpoint(model_path, args.training_phase)
         in_dtype = jnp.bfloat16 if fast else jnp.float32
         model, spec, variables = load_model(model_path, ckpt,
-                                            dtype=in_dtype, fast=fast)
+                                            dtype=in_dtype, fast=fast,
+                                            quant8=args.quant8)
         if args.export:
             from scaleprotoseg_tpu.serving.export import (export_serving,
                                                           save_artifact)
@@ -149,7 +153,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 input_dtype=in_dtype, fast=fast and not args.dynamic_batch)
             save_artifact(args.export, exported, variables, spec=spec,
                           extra={"model_path": model_path,
-                                 "checkpoint": ckpt, "fast": fast})
+                                 "checkpoint": ckpt, "fast": fast,
+                                 "quant8": args.quant8})
             record = {"exported": args.export,
                       "input": [args.batch, h, w, 3],
                       "platforms": list(exported.platforms)}

@@ -1,0 +1,156 @@
+"""Dynamic int8 (w8a8) convolution: exactness, error bounds, wiring.
+
+The int32 accumulation is exact, so when inputs/weights are already
+int8-representable the quantized conv must equal the fp32 conv
+bit-for-bit; on smooth random data the rounding error is bounded.  The
+``quant8`` flag must not change the param tree (any checkpoint loads
+into either form) and must be inert under training (`models/layers.py`,
+`ops/quant.py`).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from scaleprotoseg_tpu.models.deeplab import DeepLabV2
+from scaleprotoseg_tpu.ops.quant import (dynamic_int8_conv,
+                                         quantize_symmetric)
+
+
+def _conv_fp32(x, w, dilation=(1, 1), strides=(1, 1), padding="SAME"):
+    return lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), strides, padding,
+        rhs_dilation=dilation, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_quantize_symmetric_roundtrip(rng):
+    x = rng.standard_normal((3, 5, 7, 4)).astype(np.float32)
+    q, s = quantize_symmetric(jnp.asarray(x))
+    assert q.dtype == jnp.int8 and s.shape == ()
+    np.testing.assert_allclose(np.asarray(q, np.float32) * np.asarray(s),
+                               x, atol=np.abs(x).max() / 127 * 0.51)
+    # per-channel: each channel scaled independently
+    qc, sc = quantize_symmetric(jnp.asarray(x), axis=3)
+    assert sc.shape == (4,)
+    for c in range(4):
+        assert np.asarray(sc)[c] == pytest.approx(
+            np.abs(x[..., c]).max() / 127.0, rel=1e-6)
+
+
+def test_int8_conv_exact_when_representable(rng):
+    # values on the int8 grid -> quantization is lossless -> the int32
+    # MXU accumulation must reproduce the fp32 conv exactly.  Dynamic
+    # quantization recovers the grid only when the observed max is
+    # exactly 127, so pin one per tensor / per weight channel.
+    xi = rng.integers(-127, 128, size=(2, 9, 9, 8))
+    xi[0, 0, 0, 0] = 127
+    wi = rng.integers(-127, 128, size=(3, 3, 8, 16))
+    wi[0, 0, 0, :] = 127
+    sx = 0.0625                              # powers of two: exact in fp
+    sw = np.full(16, 0.03125)
+    sw[3] = 0.125                            # distinct per-channel scales
+    x = jnp.asarray(xi * sx, jnp.float32)
+    w = jnp.asarray(wi * sw, jnp.float32)
+    got = dynamic_int8_conv(x, w, dilation=(2, 2))
+    want = _conv_fp32(x, w, dilation=(2, 2))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_error_bound_random(rng):
+    x = jnp.asarray(rng.standard_normal((2, 17, 17, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 32)) * 0.1, jnp.float32)
+    got = np.asarray(dynamic_int8_conv(x, w))
+    want = np.asarray(_conv_fp32(x, w))
+    rms = np.sqrt(((got - want) ** 2).mean()) / \
+        np.sqrt((want ** 2).mean())
+    assert rms < 0.02, f"relative RMS {rms}"
+
+
+def test_strided_padded_conv_matches_geometry(rng):
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, 1, 4, 8)), jnp.float32)
+    got = dynamic_int8_conv(x, w, strides=(2, 2),
+                            padding=[(0, 0), (0, 0)])
+    assert got.shape == (1, 8, 8, 8)
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 33, 33, 3)), jnp.float32)
+    fp = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat")
+    q8 = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat",
+                   quant8=True)
+    variables = fp.init(jax.random.PRNGKey(0), x)
+    return fp, q8, variables, x
+
+
+def test_quant8_same_param_tree(tiny_pair):
+    fp, q8, variables, x = tiny_pair
+    v2 = q8.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v2)
+
+
+def test_quant8_backbone_close_to_fp(tiny_pair):
+    fp, q8, variables, x = tiny_pair
+    y_fp = np.asarray(fp.apply(variables, x))
+    y_q8 = np.asarray(q8.apply(variables, x))
+    rel = np.abs(y_q8 - y_fp).max() / (np.abs(y_fp).max() + 1e-9)
+    assert rel < 0.1, f"relative max err {rel}"
+
+
+def test_quant8_full_ppnet_serving_forward(rng):
+    # the serving wiring: tiny flagship PPNet with the quantized
+    # backbone, same variables as the fp model, label maps mostly agree
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship, synthetic_init
+    from scaleprotoseg_tpu.serving import make_serving_fn
+
+    model, _ = _flagship(tiny=True, grouped=True, dtype=jnp.float32)
+    model_q8, _ = _flagship(tiny=True, grouped=True, dtype=jnp.float32,
+                            quant8=True)
+    x = jnp.asarray(rng.standard_normal((1, 65, 65, 3)), jnp.float32)
+    shapes = jax.eval_shape(lambda k: model.init(k, x),
+                            jax.random.PRNGKey(0))
+    variables = synthetic_init(shapes)
+    assert jax.tree_util.tree_structure(shapes) == \
+        jax.tree_util.tree_structure(
+            jax.eval_shape(lambda k: model_q8.init(k, x),
+                           jax.random.PRNGKey(0)))
+    y = np.asarray(make_serving_fn(model)(variables, x))
+    y_q8 = np.asarray(make_serving_fn(model_q8)(variables, x))
+    assert y.shape == y_q8.shape
+    assert (y == y_q8).mean() > 0.9, \
+        f"label agreement {(y == y_q8).mean():.3f}"
+
+
+def test_load_model_quant8_rejects_non_deeplab(tmp_path):
+    from scaleprotoseg_tpu.model_loading import load_model
+    from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
+    from scaleprotoseg_tpu.spec import ProtoSpec
+
+    # a UNet run dir: quant8 must refuse rather than silently serve fp
+    spec = ProtoSpec.equal_allocation(8, 4, num_classes=2, num_scales=1)
+    (tmp_path / "config.gin").write_text(
+        "construct_PPNet.base_architecture = 'unet'\n"
+        "construct_PPNet.prototype_activation_function = 'log'\n"
+        "construct_PPNet.add_on_layers_type = 'identity'\n"
+        "unet_features.unet_n_features = 8\n")
+    ckpt = tmp_path / "toy.ckpt"
+    save_checkpoint(str(ckpt), {}, spec=spec)
+    with pytest.raises(ValueError, match="quant8"):
+        load_model(str(tmp_path), str(ckpt), quant8=True)
+
+
+def test_quant8_inert_under_training(tiny_pair):
+    fp, q8, variables, x = tiny_pair
+    y_fp, st_fp = fp.apply(variables, x, train_bn=True,
+                           mutable=["batch_stats"])
+    y_q8, st_q8 = q8.apply(variables, x, train_bn=True,
+                           mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y_fp), np.asarray(y_q8))
