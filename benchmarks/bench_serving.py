@@ -116,4 +116,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        main()
+    except Exception as e:  # same transient-tunnel policy as bench.py
+        from bench import _is_transient
+        if not _is_transient(e):
+            raise
+        import traceback
+        traceback.print_exc()
+        time.sleep(20)
+        main()

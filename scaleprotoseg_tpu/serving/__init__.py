@@ -17,5 +17,5 @@ Surface:
 
 from scaleprotoseg_tpu.serving.engine import ServingEngine  # noqa: F401
 from scaleprotoseg_tpu.serving.export import (  # noqa: F401
-    export_from_run, export_serving, load_artifact, make_serving_fn,
-    save_artifact)
+    export_from_run, export_serving, load_artifact, make_mesh_predict,
+    make_serving_fn, save_artifact)

@@ -71,6 +71,42 @@ def make_serving_fn(model, *, output: str = "labels",
     return fn
 
 
+def make_mesh_predict(model, variables, mesh, *, output: str = "labels",
+                      upsample: bool = True, fast: bool = False):
+    """Data-parallel serving over a device mesh: ``predict(x)``.
+
+    Params replicate, the batch shards on the mesh's leading axis, and
+    XLA SPMD partitions the whole forward — the fused Pallas ASPP ships
+    its own batch partitioning rule (`ops/pallas_aspp.fused_aspp_sharded`),
+    so ``fast=True`` composes with the mesh.  The returned callable
+    accepts host numpy batches (the jit's in_shardings place them) and
+    dispatches asynchronously, so it drops into ``ServingEngine``
+    unchanged.  Batch must divide the mesh size — serving replication
+    would silently waste every chip but one, so this raises instead.
+    """
+    from scaleprotoseg_tpu.parallel.mesh import batch_sharding, replicate
+
+    fn = make_serving_fn(model, output=output, upsample=upsample,
+                         fast=fast)
+    rep = replicate(mesh)
+    shard = batch_sharding(mesh)
+    jfn = jax.jit(fn,
+                  in_shardings=(jax.tree.map(lambda _: rep, variables),
+                                shard),
+                  out_shardings=shard)
+    variables = jax.device_put(variables, rep)
+    n = mesh.devices.size
+
+    def predict(x):
+        if x.shape[0] % n:
+            raise ValueError(
+                f"serving batch {x.shape[0]} does not divide the "
+                f"{n}-device mesh — pick a batch that is a multiple")
+        return jfn(variables, x)
+
+    return predict
+
+
 def export_serving(model, variables, *, height: int, width: int,
                    batch: Optional[int] = None,
                    input_dtype=jnp.bfloat16,

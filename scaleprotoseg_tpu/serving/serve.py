@@ -112,6 +112,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    "~0.5%% logit perturbation — see ops/quant.py)")
     p.add_argument("--dynamic-batch", action="store_true",
                    help="export with a symbolic batch dim (XLA path)")
+    p.add_argument("--mesh", type=int, default=1,
+                   help="data-parallel serving over the first N devices "
+                   "(run-dir form only; batch must be a multiple of N)")
     args = p.parse_args(argv)
 
     import jax
@@ -124,6 +127,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     fast = (not args.no_fast) and jax.default_backend() == "tpu"
 
     if args.artifact:
+        if args.mesh > 1:
+            p.error("--mesh serves from a run directory (a jax.export "
+                    "artifact is a single-device program); drop "
+                    "--artifact to shard over devices")
         from scaleprotoseg_tpu.serving.export import load_artifact
         served = load_artifact(args.artifact)
         if (h, w) != tuple(served.input_shape[1:3]):
@@ -160,9 +167,19 @@ def main(argv: Optional[List[str]] = None) -> dict:
                       "platforms": list(exported.platforms)}
             print(json.dumps(record))
             return record
-        from scaleprotoseg_tpu.serving.export import make_serving_fn
-        fn = jax.jit(make_serving_fn(model, fast=fast))
-        predict = lambda x: fn(variables, x)  # noqa: E731
+        if args.mesh > 1:
+            from scaleprotoseg_tpu.parallel.mesh import create_mesh
+            from scaleprotoseg_tpu.serving.export import make_mesh_predict
+            if args.batch % args.mesh:
+                p.error(f"--batch {args.batch} must be a multiple of "
+                        f"--mesh {args.mesh}")
+            predict = make_mesh_predict(
+                model, variables, create_mesh(n_devices=args.mesh),
+                fast=fast)
+        else:
+            from scaleprotoseg_tpu.serving.export import make_serving_fn
+            fn = jax.jit(make_serving_fn(model, fast=fast))
+            predict = lambda x: fn(variables, x)  # noqa: E731
         batch = args.batch
 
     out_dir = args.output or os.path.join(args.input, "predictions")

@@ -21,6 +21,7 @@ def _run(module, size=64):
     return module.apply(vars_, x)
 
 
+@pytest.mark.slow  # 22 s on 1 core; registry/factory coverage stays fast
 def test_resnet_basic_and_bottleneck_shapes():
     y = _run(ResNetFeatures((1, 1, 1, 1), bottleneck=False))
     assert y.shape == (1, 2, 2, 512)
@@ -28,6 +29,7 @@ def test_resnet_basic_and_bottleneck_shapes():
     assert y.shape == (1, 2, 2, 2048)
 
 
+@pytest.mark.slow  # 38 s on 1 core
 def test_vgg_and_densenet_shapes():
     y = _run(VGGFeatures(11), size=64)
     assert y.shape == (1, 2, 2, 512)

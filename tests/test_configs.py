@@ -82,8 +82,18 @@ ALL_CONFIGS = sorted(
     os.path.basename(f)[:-4]
     for f in glob.glob(os.path.join(CONFIGS, "*.gin")))
 
+# Fast-profile representatives: one per variant family + the two shape
+# regimes that have actually broken (irregular leftover bank; UNet full-
+# res head).  The other 11 configs run the same trace under -m slow —
+# each costs ~15-20 s of pure Python tracing on this 1-core host.
+_FAST_TRACE = {"baseline_cityscapes", "scaleproto_cityscapes",
+               "group_scaleproto_coco", "scaleproto_em"}
 
-@pytest.mark.parametrize("name", ALL_CONFIGS)
+
+@pytest.mark.parametrize(
+    "name", [n if n in _FAST_TRACE
+             else pytest.param(n, marks=pytest.mark.slow)
+             for n in ALL_CONFIGS])
 def test_config_joint_train_step_traces(name):
     """Abstractly trace every shipped config's REAL joint train step
     (forward + every enabled loss + grads + optimizer) at the config's

@@ -40,6 +40,7 @@ HPARAMS = dict(
     freeze_type="all", joint_no_proto=False, joint_last=True)
 
 
+@pytest.mark.slow  # 47 s on 1 core; checkpoint round-trips stay fast
 def test_mid_phase_resume(tmp_path):
     rng = np.random.default_rng(0)
     spec = ProtoSpec.equal_allocation(24, 8, 3, 4)

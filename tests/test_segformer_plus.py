@@ -2,6 +2,7 @@
 SegFormer EM branch (ref em/module_multiscale_em.py:338-405) and
 DeepLabV2 multiscaleplus (ref deeplab_features.py:159-165)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,7 @@ import numpy as np
 from scaleprotoseg_tpu.models.factory import base_architecture_to_features
 
 
+@pytest.mark.slow  # 40 s MiT compile on 1 core
 def test_segformer_multiscale_shapes():
     factory = base_architecture_to_features["segformer_multiscale"]
     module, out_ch, scales = factory(deeplab_n_features=8)

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from scaleprotoseg_tpu.models.deeplab import DeepLabV2
 from scaleprotoseg_tpu.models.ppnet import PPNet
 from scaleprotoseg_tpu.serving import (ServingEngine, export_serving,
-                                       load_artifact, make_serving_fn,
-                                       save_artifact)
+                                       load_artifact, make_mesh_predict,
+                                       make_serving_fn, save_artifact)
 from scaleprotoseg_tpu.spec import ProtoSpec
 
 
@@ -129,6 +129,70 @@ def test_engine_order_tail_and_parity(tiny):
 def test_engine_rejects_bad_batch():
     with pytest.raises(ValueError):
         ServingEngine(lambda x: x, batch_size=0)
+
+
+def test_mesh_predict_matches_single_device(tiny):
+    """DP serving over the 8-virtual-device mesh == the single-device
+    jit, bit for bit (params replicate, batch shards, GSPMD inserts the
+    rest — `serving/export.make_mesh_predict`, the serve CLI's --mesh)."""
+    from scaleprotoseg_tpu.parallel.mesh import create_mesh
+
+    model, _, variables = tiny
+    mesh = create_mesh()
+    n = mesh.devices.size
+    assert n == 8  # conftest pins the virtual device count
+    x = _images(n, rng_seed=11)
+    single = np.asarray(jax.jit(make_serving_fn(model))(variables, x))
+    predict = make_mesh_predict(model, variables, mesh)
+    out = predict(x)
+    assert len(out.sharding.device_set) == n
+    np.testing.assert_array_equal(np.asarray(out), single)
+    with pytest.raises(ValueError, match="does not divide"):
+        predict(_images(n - 1))
+    # drives the engine unchanged (batch = mesh size, 2n items)
+    engine = ServingEngine(predict, batch_size=n,
+                           preprocess=lambda i: _images(
+                               2 * n, rng_seed=11)[i])
+    out = list(engine.run((f"i{j}", j) for j in range(2 * n)))
+    assert [k for k, _ in out] == [f"i{j}" for j in range(2 * n)]
+    for (_, pred), want in zip(out[:n], single):
+        np.testing.assert_array_equal(pred, want)
+
+
+def test_serve_cli_mesh_flag(tiny, tmp_path):
+    """--mesh N end-to-end through the CLI (run-dir form), incl. the
+    guard rails (--artifact conflict, batch divisibility)."""
+    import scaleprotoseg_tpu.serving.serve as serve_mod
+
+    model, spec, variables = tiny
+    in_dir = tmp_path / "images"
+    in_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        np.save(in_dir / f"f{i}.npy",
+                rng.integers(0, 256, size=(33, 33, 3)).astype(np.uint8))
+
+    # run-dir loading is exercised by the existing CLI test; here patch
+    # load_model to isolate the mesh plumbing
+    import scaleprotoseg_tpu.model_loading as ml
+    orig_load, orig_resolve = ml.load_model, ml.resolve_checkpoint
+    ml.load_model = lambda *a, **k: (model, spec, variables)
+    ml.resolve_checkpoint = lambda *a: "ckpt"
+    try:
+        record = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--output", str(tmp_path / "preds"), "--batch", "4",
+             "--mesh", "2", "--results-root", str(tmp_path)])
+        assert record["images"] == 4
+        with pytest.raises(SystemExit):
+            serve_mod.main(["run", "final", "--input", str(in_dir),
+                            "--batch", "3", "--mesh", "2",
+                            "--results-root", str(tmp_path)])
+        with pytest.raises(SystemExit):
+            serve_mod.main(["--artifact", "x", "--input", str(in_dir),
+                            "--mesh", "2"])
+    finally:
+        ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
 
 
 def test_serve_cli_artifact_path(tiny, tmp_path, capsys):

@@ -200,6 +200,7 @@ def test_msc_pyramid_train_step(rng, grouped):
         np.testing.assert_allclose(gw.sum(-1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow  # 72 s on 1 core; DP eval also covered by the driver dryrun
 def test_eval_step_and_data_parallel_mesh(rng):
     model, spec, variables = _build()
     state, step = _make_state_and_step(model, spec, variables,
@@ -217,6 +218,7 @@ def test_eval_step_and_data_parallel_mesh(rng):
     assert float(em["n_patches"]) == 8 * 9 * 9
 
 
+@pytest.mark.slow  # remat is an opt-in knob; 24 s on 1 core
 def test_remat_step_matches_plain(rng):
     """remat=True (jax.checkpoint over the forward) must not change the
     step's numerics — only its memory/compute schedule."""

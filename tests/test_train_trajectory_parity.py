@@ -518,6 +518,7 @@ def test_group_phase_trajectory_parity(phase):
     np.testing.assert_allclose(gw.sum(-1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow  # 33 s; the non-pyramid proto/group parity tests stay fast
 def test_proto_msc_pyramid_trajectory_parity():
     """The pascal/coco regime: MSC input pyramid (train-time list of
     [base, pyramid, max] outputs) with per-output loss averaging
