@@ -14,9 +14,11 @@ Add ``--export DIR`` to the second form to write the AOT artifact
 instead of serving (the deploy step).
 
 Input: a directory of ``.npy`` uint8 images (the repo's preprocessed
-format, ref `img_with_margin_0/test`) or ``.png``; all images must
-share one shape — serving runs ONE compiled program.  Output: one
-grayscale PNG of train-id labels per image + a JSON throughput line.
+format, ref `img_with_margin_0/test`) or ``.png``; serving runs ONE
+compiled program, so images must share one shape — or pass
+``--canvas H W`` to bottom/right-pad a mixed-size directory to a
+common canvas and crop each prediction back.  Output: one grayscale
+PNG of train-id labels per image + a JSON throughput line.
 """
 
 from __future__ import annotations
@@ -41,7 +43,14 @@ def _list_images(input_dir: str, limit: Optional[int]) -> List[str]:
     return names[:limit] if limit else names
 
 
-def _make_preprocess(input_dir: str, margin: int = 0):
+def _make_preprocess(input_dir: str, margin: int = 0,
+                     canvas=None, sizes=None):
+    """Decode + normalize; with ``canvas=(H, W)`` bottom/right-pad every
+    image to one fixed shape (zeros after normalization = the dataset
+    mean) so a single compiled program serves a mixed-size directory.
+    ``sizes`` (a dict) records each name's pre-pad (h, w) for cropping
+    the prediction back — filled from the engine's preprocess threads,
+    always before that item's batch is dispatched."""
     mean = np.asarray(IMAGENET_MEAN, np.float32)
     std = np.asarray(IMAGENET_STD, np.float32)
 
@@ -54,13 +63,23 @@ def _make_preprocess(input_dir: str, margin: int = 0):
             img = np.asarray(Image.open(path).convert("RGB"))
         if margin:
             img = img[margin:-margin, margin:-margin]
-        return (img.astype(np.float32) / 255.0 - mean) / std
+        out = (img.astype(np.float32) / 255.0 - mean) / std
+        if canvas is not None:
+            h, w = out.shape[:2]
+            ch, cw = canvas
+            if h > ch or w > cw:
+                raise ValueError(f"{name} is {h}x{w}, larger than the "
+                                 f"--canvas {ch}x{cw}")
+            if sizes is not None:
+                sizes[name] = (h, w)
+            out = np.pad(out, ((0, ch - h), (0, cw - w), (0, 0)))
+        return out
 
     return preprocess
 
 
 def run_serving(predict, names, preprocess, out_dir: str,
-                batch_size: int, workers: int = 2) -> dict:
+                batch_size: int, workers: int = 2, sizes=None) -> dict:
     """Stream ``names`` through ``predict``; save PNGs; return stats.
 
     Timing starts after a one-batch warmup (compile/cache-load excluded
@@ -81,6 +100,9 @@ def run_serving(predict, names, preprocess, out_dir: str,
     count = 0
     for name, pred in engine.run((n, n) for n in names):
         stem = os.path.splitext(name)[0]
+        if sizes is not None and name in sizes:
+            h, w = sizes[name]
+            pred = pred[:h, :w]
         Image.fromarray(pred.astype(np.uint8)).convert("L").save(
             os.path.join(out_dir, f"{stem}.png"))
         count += 1
@@ -103,6 +125,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--limit", type=int)
     p.add_argument("--margin", type=int, default=0)
+    p.add_argument("--canvas", type=int, nargs=2, metavar=("H", "W"),
+                   help="serve mixed-size images: pad each to HxW (one "
+                   "compiled program), crop predictions back per image")
     p.add_argument("--workers", type=int, default=2)
     p.add_argument("--results-root", help="override settings results dir")
     p.add_argument("--no-fast", action="store_true",
@@ -121,7 +146,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     import jax.numpy as jnp
 
     names = _list_images(args.input, args.limit)
-    preprocess = _make_preprocess(args.input, args.margin)
+    sizes = {} if args.canvas else None
+    preprocess = _make_preprocess(
+        args.input, args.margin,
+        canvas=tuple(args.canvas) if args.canvas else None, sizes=sizes)
     probe = preprocess(names[0])
     h, w = probe.shape[:2]
     fast = (not args.no_fast) and jax.default_backend() == "tpu"
@@ -186,7 +214,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     cast = lambda name: np.asarray(  # noqa: E731
         preprocess(name), jnp.dtype(in_dtype))
     record = run_serving(predict, names, cast, out_dir, batch,
-                         workers=args.workers)
+                         workers=args.workers, sizes=sizes)
     print(json.dumps(record))
     return record
 

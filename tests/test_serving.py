@@ -195,6 +195,59 @@ def test_serve_cli_mesh_flag(tiny, tmp_path):
         ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
 
 
+def test_serve_cli_canvas_mixed_sizes(tiny, tmp_path):
+    """--canvas serves a mixed-size directory through one compiled
+    program: each image bottom/right-pads to the canvas and its
+    prediction crops back to the original size; the cropped region
+    equals serving the same image alone at its own shape."""
+    import scaleprotoseg_tpu.serving.serve as serve_mod
+    import scaleprotoseg_tpu.model_loading as ml
+
+    model, spec, variables = tiny
+    in_dir = tmp_path / "images"
+    in_dir.mkdir()
+    rng = np.random.default_rng(9)
+    shapes = {"a": (33, 33), "b": (17, 25), "c": (29, 13)}
+    for name, (h, w) in shapes.items():
+        np.save(in_dir / f"{name}.npy",
+                rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+
+    orig_load, orig_resolve = ml.load_model, ml.resolve_checkpoint
+    ml.load_model = lambda *a, **k: (model, spec, variables)
+    ml.resolve_checkpoint = lambda *a: "ckpt"
+    try:
+        record = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--output", str(tmp_path / "preds"), "--batch", "2",
+             "--canvas", "33", "33", "--results-root", str(tmp_path)])
+        assert record["images"] == 3
+        from PIL import Image
+        fn = jax.jit(make_serving_fn(model))
+        for name, (h, w) in shapes.items():
+            got = np.asarray(Image.open(tmp_path / "preds" /
+                                        f"{name}.png"))
+            assert got.shape == (h, w)
+        # parity on the padded canvas: prediction of the padded image,
+        # cropped, equals the PNG (serving is deterministic)
+        pre = serve_mod._make_preprocess(str(in_dir))
+        img = pre("b.npy")
+        padded = np.pad(img, ((0, 33 - 17), (0, 33 - 25), (0, 0)))
+        want = np.asarray(fn(variables, padded[None]))[0, :17, :25]
+        got = np.asarray(Image.open(tmp_path / "preds" / "b.png"))
+        np.testing.assert_array_equal(got, want)
+        # images larger than the canvas are refused
+        np.save(in_dir / "d.npy",
+                rng.integers(0, 256, size=(50, 20, 3)).astype(np.uint8))
+        with pytest.raises(ValueError, match="larger than the"):
+            serve_mod.main(
+                ["run", "final", "--input", str(in_dir),
+                 "--output", str(tmp_path / "p2"), "--batch", "2",
+                 "--canvas", "33", "33",
+                 "--results-root", str(tmp_path)])
+    finally:
+        ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
+
+
 def test_serve_cli_artifact_path(tiny, tmp_path, capsys):
     model, spec, variables = tiny
     exported = export_serving(model, variables, height=33, width=33,
