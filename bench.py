@@ -171,8 +171,17 @@ if __name__ == "__main__":
     except Exception as e:
         if not _is_transient(e):
             raise
-        import time as _t
+        import os
+        import sys
         import traceback
         traceback.print_exc()
-        _t.sleep(20)
-        main()
+        # Re-exec instead of calling main() again: a failed TPU backend
+        # init is cached by jax.xla_bridge for the process lifetime, so
+        # an in-process retry would re-raise instantly.  A fresh process
+        # re-attempts the tunnel from scratch; bound the attempts.
+        attempt = int(os.environ.get("BENCH_RETRY_ATTEMPT", "0"))
+        if attempt >= 3:
+            raise
+        time.sleep(30 * (attempt + 1))
+        os.environ["BENCH_RETRY_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -128,5 +128,10 @@ if __name__ == "__main__":
             raise
         import traceback
         traceback.print_exc()
-        time.sleep(20)
-        main()
+        # re-exec: backend-init failures are cached in-process (bench.py)
+        attempt = int(os.environ.get("BENCH_RETRY_ATTEMPT", "0"))
+        if attempt >= 3:
+            raise
+        time.sleep(30 * (attempt + 1))
+        os.environ["BENCH_RETRY_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
