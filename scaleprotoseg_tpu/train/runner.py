@@ -267,6 +267,8 @@ class PhaseTrainer:
                     try:
                         from scaleprotoseg_tpu.checkpoints.orbax_io import \
                             save_train_state
+                        # async: the directory commit overlaps the next
+                        # training steps (orbax_io docstring)
                         save_train_state(
                             state_dir,
                             state.replace(step=jnp.asarray(steps)))
@@ -284,6 +286,12 @@ class PhaseTrainer:
                         self.log("Early stopping triggered")
                         stop = True
                         break
+        try:  # phase-end barrier for the async state checkpoint
+            from scaleprotoseg_tpu.checkpoints.orbax_io import \
+                wait_for_checkpoints
+            wait_for_checkpoints()
+        except Exception:  # pragma: no cover
+            pass
         return PhaseResult(state=state, best_acc=self.best_acc,
                            steps_done=steps)
 

@@ -40,6 +40,39 @@ HPARAMS = dict(
     freeze_type="all", joint_no_proto=False, joint_last=True)
 
 
+def test_async_state_save_roundtrip(tmp_path):
+    """Async orbax saves (SURVEY.md §5): save returns before the commit,
+    back-to-back saves serialize, the barrier lands the write, and
+    restore sees the LAST save's values."""
+    import optax
+
+    from scaleprotoseg_tpu.checkpoints.orbax_io import (
+        restore_train_state, save_train_state, wait_for_checkpoints)
+    from scaleprotoseg_tpu.train.state import TrainState
+
+    params = {"w": jnp.arange(4.0), "b": jnp.zeros((2, 3))}
+    tx = optax.adam(1e-3)
+    state = TrainState.create(params, None, tx.init(params))
+    path = os.path.join(str(tmp_path), "state")
+
+    save_train_state(path, state)                     # async
+    state2 = state.replace(
+        params={"w": state.params["w"] + 1.0,
+                "b": state.params["b"] + 2.0},
+        step=jnp.asarray(7))
+    save_train_state(path, state2)                    # overwrites in flight
+    wait_for_checkpoints()
+    template = TrainState.create(
+        jax.tree.map(jnp.zeros_like, params), None, tx.init(params))
+    restored = restore_train_state(path, template)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(state2.params["w"]))
+    # absent path -> None
+    assert restore_train_state(os.path.join(str(tmp_path), "nope"),
+                               template) is None
+
+
 @pytest.mark.slow  # 47 s on 1 core; checkpoint round-trips stay fast
 def test_mid_phase_resume(tmp_path):
     rng = np.random.default_rng(0)
