@@ -137,6 +137,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    "~0.5%% logit perturbation — see ops/quant.py)")
     p.add_argument("--dynamic-batch", action="store_true",
                    help="export with a symbolic batch dim (XLA path)")
+    p.add_argument("--platforms",
+                   help="comma-separated export platforms, e.g. "
+                   "'cpu,tpu': build the artifact on one host type, "
+                   "serve it on another (XLA path — the Pallas fast "
+                   "path lowers for TPU only)")
     p.add_argument("--mesh", type=int, default=1,
                    help="data-parallel serving over the first N devices "
                    "(run-dir form only; batch must be a multiple of N)")
@@ -152,7 +157,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
         canvas=tuple(args.canvas) if args.canvas else None, sizes=sizes)
     probe = preprocess(names[0])
     h, w = probe.shape[:2]
-    fast = (not args.no_fast) and jax.default_backend() == "tpu"
+    # --platforms implies the portable XLA path: the Pallas fast kernel
+    # lowers for the TPU backend only, and load_model(fast=True) bakes
+    # it into the backbone itself
+    fast = ((not args.no_fast) and jax.default_backend() == "tpu"
+            and not args.platforms)
 
     if args.artifact:
         if args.mesh > 1:
@@ -182,10 +191,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
         if args.export:
             from scaleprotoseg_tpu.serving.export import (export_serving,
                                                           save_artifact)
+            platforms = args.platforms.split(",") if args.platforms \
+                else None
             exported = export_serving(
                 model, variables, height=h, width=w,
                 batch=None if args.dynamic_batch else args.batch,
-                input_dtype=in_dtype, fast=fast and not args.dynamic_batch)
+                input_dtype=in_dtype,
+                fast=(fast and not args.dynamic_batch
+                      and not platforms),
+                platforms=platforms)
             save_artifact(args.export, exported, variables, spec=spec,
                           extra={"model_path": model_path,
                                  "checkpoint": ckpt, "fast": fast,

@@ -248,6 +248,41 @@ def test_serve_cli_canvas_mixed_sizes(tiny, tmp_path):
         ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
 
 
+def test_serve_cli_multiplatform_export(tiny, tmp_path):
+    """--export --platforms cpu,tpu: build-host artifact with platform-
+    branched lowering; loads and serves on the current (cpu) backend and
+    records both platforms in meta.json."""
+    import scaleprotoseg_tpu.serving.serve as serve_mod
+    import scaleprotoseg_tpu.model_loading as ml
+
+    model, spec, variables = tiny
+    in_dir = tmp_path / "images"
+    in_dir.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(2):
+        np.save(in_dir / f"f{i}.npy",
+                rng.integers(0, 256, size=(33, 33, 3)).astype(np.uint8))
+    art = str(tmp_path / "artifact")
+
+    orig_load, orig_resolve = ml.load_model, ml.resolve_checkpoint
+    ml.load_model = lambda *a, **k: (model, spec, variables)
+    ml.resolve_checkpoint = lambda *a: "ckpt"
+    try:
+        record = serve_mod.main(
+            ["run", "final", "--input", str(in_dir), "--batch", "2",
+             "--export", art, "--platforms", "cpu,tpu",
+             "--results-root", str(tmp_path)])
+        assert sorted(record["platforms"]) == ["cpu", "tpu"]
+        served = load_artifact(art)
+        assert sorted(served.meta["platforms"]) == ["cpu", "tpu"]
+        out = serve_mod.main(
+            ["--artifact", art, "--input", str(in_dir),
+             "--output", str(tmp_path / "preds")])
+        assert out["images"] == 2
+    finally:
+        ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
+
+
 def test_serve_cli_artifact_path(tiny, tmp_path, capsys):
     model, spec, variables = tiny
     exported = export_serving(model, variables, height=33, width=33,
