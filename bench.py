@@ -165,9 +165,19 @@ def _is_transient(exc: Exception) -> bool:
         r"|socket (closed|error)|timed.?out|\btransient\b", msg) is not None
 
 
-if __name__ == "__main__":
+def retry_reexec(fn) -> None:
+    """Run ``fn()``; on a transient hosted-tunnel failure, re-exec the
+    process (shared by every benchmark entry point).
+
+    Re-exec instead of calling ``fn()`` again: a failed TPU backend
+    init is cached by jax.xla_bridge for the process lifetime, so an
+    in-process retry would re-raise instantly.  A fresh process
+    re-attempts the tunnel from scratch; attempts are bounded via the
+    inherited BENCH_RETRY_ATTEMPT env var.  Non-transient errors (bad
+    config, OOM, assertion) surface once — see ``_is_transient``.
+    """
     try:
-        main()
+        fn()
     except Exception as e:
         if not _is_transient(e):
             raise
@@ -175,13 +185,13 @@ if __name__ == "__main__":
         import sys
         import traceback
         traceback.print_exc()
-        # Re-exec instead of calling main() again: a failed TPU backend
-        # init is cached by jax.xla_bridge for the process lifetime, so
-        # an in-process retry would re-raise instantly.  A fresh process
-        # re-attempts the tunnel from scratch; bound the attempts.
         attempt = int(os.environ.get("BENCH_RETRY_ATTEMPT", "0"))
         if attempt >= 3:
             raise
         time.sleep(30 * (attempt + 1))
         os.environ["BENCH_RETRY_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+if __name__ == "__main__":
+    retry_reexec(main)

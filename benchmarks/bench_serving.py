@@ -120,18 +120,6 @@ if __name__ == "__main__":
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    try:
-        main()
-    except Exception as e:  # same transient-tunnel policy as bench.py
-        from bench import _is_transient
-        if not _is_transient(e):
-            raise
-        import traceback
-        traceback.print_exc()
-        # re-exec: backend-init failures are cached in-process (bench.py)
-        attempt = int(os.environ.get("BENCH_RETRY_ATTEMPT", "0"))
-        if attempt >= 3:
-            raise
-        time.sleep(30 * (attempt + 1))
-        os.environ["BENCH_RETRY_ATTEMPT"] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    from bench import retry_reexec  # shared transient-tunnel policy
+
+    retry_reexec(main)

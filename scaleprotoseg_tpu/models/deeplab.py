@@ -244,7 +244,12 @@ class DeepLabV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
-        q8 = self.quant8 and not train_bn
+        # quant8 is a construction-time serving flag (set only by
+        # model_loading.load_model); the int8 round() has zero gradient,
+        # so make_train_step refuses quant8 models outright — a runtime
+        # train_bn gate would miss frozen-BN training phases, where
+        # train_bn=False but gradients still flow.
+        q8 = self.quant8
         ch = [64 * 2 ** p for p in range(6)]
         x = Stem(out=ch[0], dtype=self.dtype, quant8=q8,
                  name="layer1")(x, train_bn)

@@ -12,8 +12,10 @@ quantization — no calibration dataset, no extra state:
   ranges differ by orders of magnitude after BN folding upstream);
 - accumulation: int32 on the MXU, dequantized once into fp32.
 
-Inference-only by construction (a round() has no useful gradient); the
-backbone enables it behind ``quant8=True`` and only outside training.
+Inference-only by construction (a round() has no useful gradient): the
+backbone enables it behind the construction-time ``quant8=True`` flag
+(set only by ``model_loading.load_model`` for serving), and
+``train.steps.make_train_step`` refuses quant8 models outright.
 The reference has no quantized path — this is TPU-serving surface
 beyond parity (cf. SURVEY.md §6: the reference publishes no perf
 numbers at all).
@@ -38,12 +40,14 @@ def quantize_symmetric(x: jax.Array, axis=None
     xf = x.astype(jnp.float32)
     if axis is None:
         amax = jnp.max(jnp.abs(xf))
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        shaped = scale
     else:
-        reduce_axes = tuple(i for i in range(x.ndim) if i != axis)
+        keep = (axis,) if isinstance(axis, int) else tuple(axis)
+        reduce_axes = tuple(i for i in range(x.ndim) if i not in keep)
         amax = jnp.max(jnp.abs(xf), axis=reduce_axes)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    shaped = scale if axis is None else jnp.expand_dims(
-        scale, tuple(i for i in range(x.ndim) if i != axis))
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        shaped = jnp.expand_dims(scale, reduce_axes)
     q = jnp.clip(jnp.round(xf / shaped), -127, 127).astype(jnp.int8)
     return q, scale
 

@@ -99,9 +99,12 @@ class ServingEngine:
                 n_valid = len(arrs)
                 while len(arrs) < B:          # tail padding
                     arrs.append(arrs[-1])
+                # flush BEFORE dispatching so at most max_inflight
+                # batches are device-resident, as the docstring promises
+                # (the fetch of batch i-2 hides under batch i-1's compute)
+                if len(inflight) >= self.max_inflight:
+                    yield from flush_oldest()
                 out = self.predict(np.stack(arrs))
                 inflight.append((keys, n_valid, out))
-                if len(inflight) > self.max_inflight:
-                    yield from flush_oldest()
             while inflight:
                 yield from flush_oldest()

@@ -157,11 +157,17 @@ def main(argv: Optional[List[str]] = None) -> dict:
         canvas=tuple(args.canvas) if args.canvas else None, sizes=sizes)
     probe = preprocess(names[0])
     h, w = probe.shape[:2]
-    # --platforms implies the portable XLA path: the Pallas fast kernel
-    # lowers for the TPU backend only, and load_model(fast=True) bakes
-    # it into the backbone itself
+    if args.platforms and not args.export:
+        p.error("--platforms shapes the exported artifact; pass --export")
+    if args.dynamic_batch and not args.export:
+        p.error("--dynamic-batch shapes the exported artifact; "
+                "pass --export")
+    # --platforms / --dynamic-batch imply the portable XLA path: the
+    # Pallas fast kernel lowers for the TPU backend only and its grids
+    # need a static batch, and load_model(fast=True) bakes it into the
+    # backbone itself — so the exclusion must happen here, at load time
     fast = ((not args.no_fast) and jax.default_backend() == "tpu"
-            and not args.platforms)
+            and not args.platforms and not args.dynamic_batch)
 
     if args.artifact:
         if args.mesh > 1:
@@ -196,16 +202,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
             exported = export_serving(
                 model, variables, height=h, width=w,
                 batch=None if args.dynamic_batch else args.batch,
-                input_dtype=in_dtype,
-                fast=(fast and not args.dynamic_batch
-                      and not platforms),
+                input_dtype=in_dtype, fast=fast,
                 platforms=platforms)
             save_artifact(args.export, exported, variables, spec=spec,
                           extra={"model_path": model_path,
                                  "checkpoint": ckpt, "fast": fast,
                                  "quant8": args.quant8})
             record = {"exported": args.export,
-                      "input": [args.batch, h, w, 3],
+                      "input": [None if args.dynamic_batch else args.batch,
+                                h, w, 3],
                       "platforms": list(exported.platforms)}
             print(json.dumps(record))
             return record

@@ -290,8 +290,12 @@ class PhaseTrainer:
             from scaleprotoseg_tpu.checkpoints.orbax_io import \
                 wait_for_checkpoints
             wait_for_checkpoints()
-        except Exception:  # pragma: no cover
-            pass
+        except Exception as e:  # pragma: no cover
+            # a failed background commit means the on-disk state is
+            # stale — a later resume restarts from an older step; the
+            # run itself is unaffected, so log loudly and continue
+            self.log(f"async state checkpoint commit FAILED ({e}) — "
+                     "resume would restart from an older step")
         return PhaseResult(state=state, best_acc=self.best_acc,
                            steps_done=steps)
 

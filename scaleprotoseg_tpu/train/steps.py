@@ -146,6 +146,12 @@ def make_train_step(model: PPNet, spec: ProtoSpec, optimizer,
     backward becomes compute-bound instead of HBM-bound.  Ignored when
     ``train_bn=True`` (mutable batch_stats don't thread through
     jax.checkpoint)."""
+    if getattr(model.backbone, "quant8", False):
+        raise ValueError(
+            "model was built with quant8=True (dynamic int8 serving "
+            "convs — their round() has zero gradient, so training would "
+            "silently freeze the backbone); reload without quant8 to "
+            "train")
     trainable_labels = frozenset(trainable_labels)
     cw = None if class_weights is None else jnp.asarray(class_weights)
 

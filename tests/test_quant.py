@@ -4,8 +4,9 @@ The int32 accumulation is exact, so when inputs/weights are already
 int8-representable the quantized conv must equal the fp32 conv
 bit-for-bit; on smooth random data the rounding error is bounded.  The
 ``quant8`` flag must not change the param tree (any checkpoint loads
-into either form) and must be inert under training (`models/layers.py`,
-`ops/quant.py`).
+into either form) and training must refuse quant8 models — the int8
+round() has zero gradient (`models/layers.py`, `ops/quant.py`,
+`train/steps.py`).
 """
 
 import numpy as np
@@ -147,10 +148,34 @@ def test_load_model_quant8_rejects_non_deeplab(tmp_path):
         load_model(str(tmp_path), str(ckpt), quant8=True)
 
 
-def test_quant8_inert_under_training(tiny_pair):
-    fp, q8, variables, x = tiny_pair
-    y_fp, st_fp = fp.apply(variables, x, train_bn=True,
-                           mutable=["batch_stats"])
-    y_q8, st_q8 = q8.apply(variables, x, train_bn=True,
-                           mutable=["batch_stats"])
-    np.testing.assert_array_equal(np.asarray(y_fp), np.asarray(y_q8))
+def test_quantize_symmetric_axis_tuple(rng):
+    # the documented tuple-axis mode: keep those axes, reduce the rest
+    x = rng.standard_normal((3, 5, 7, 4)).astype(np.float32)
+    q, s = quantize_symmetric(jnp.asarray(x), axis=(3,))
+    qi, si = quantize_symmetric(jnp.asarray(x), axis=3)
+    assert s.shape == (4,)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(qi))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(si))
+    q2, s2 = quantize_symmetric(jnp.asarray(x), axis=(0, 3))
+    assert s2.shape == (3, 4)
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.abs(x).max(axis=(1, 2)) / 127.0,
+                               rtol=1e-5)
+
+
+def test_quant8_training_refused():
+    # the int8 round() has zero gradient, so training a quant8 model
+    # would silently freeze the backbone (including in frozen-BN phases
+    # where train_bn=False but gradients still flow) — make_train_step
+    # refuses such models outright
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import optax
+    from __graft_entry__ import _flagship
+    from scaleprotoseg_tpu.train.steps import LossWeights, make_train_step
+
+    model, spec = _flagship(tiny=True, grouped=True, dtype=jnp.float32,
+                            quant8=True)
+    with pytest.raises(ValueError, match="quant8"):
+        make_train_step(model, spec, optax.sgd(1e-3), {"backbone"},
+                        LossWeights())

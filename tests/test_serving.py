@@ -283,6 +283,40 @@ def test_serve_cli_multiplatform_export(tiny, tmp_path):
         ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
 
 
+def test_serve_cli_export_only_flags(tiny, tmp_path):
+    """--platforms / --dynamic-batch shape the exported artifact: given
+    without --export they error instead of silently disabling the fast
+    path; a --dynamic-batch export reports a null batch like meta.json."""
+    import scaleprotoseg_tpu.serving.serve as serve_mod
+    import scaleprotoseg_tpu.model_loading as ml
+
+    model, spec, variables = tiny
+    in_dir = tmp_path / "images"
+    in_dir.mkdir()
+    np.save(in_dir / "f0.npy", np.random.default_rng(5).integers(
+        0, 256, size=(33, 33, 3)).astype(np.uint8))
+
+    for flag in (["--platforms", "cpu"], ["--dynamic-batch"]):
+        with pytest.raises(SystemExit):
+            serve_mod.main(["run", "final", "--input", str(in_dir),
+                            "--results-root", str(tmp_path)] + flag)
+
+    orig_load, orig_resolve = ml.load_model, ml.resolve_checkpoint
+    ml.load_model = lambda *a, **k: (model, spec, variables)
+    ml.resolve_checkpoint = lambda *a: "ckpt"
+    try:
+        art = str(tmp_path / "artifact")
+        record = serve_mod.main(
+            ["run", "final", "--input", str(in_dir), "--batch", "2",
+             "--export", art, "--dynamic-batch",
+             "--results-root", str(tmp_path)])
+        assert record["input"][0] is None
+        served = load_artifact(art)
+        assert served.input_shape[0] is None
+    finally:
+        ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
+
+
 def test_serve_cli_artifact_path(tiny, tmp_path, capsys):
     model, spec, variables = tiny
     exported = export_serving(model, variables, height=33, width=33,
