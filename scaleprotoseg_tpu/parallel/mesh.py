@@ -4,8 +4,10 @@ The reference is strictly single-GPU (SURVEY.md §2: ``Trainer.gpus = 1``
 everywhere, no NCCL/MPI anywhere); distribution is a new first-class
 component here.  Design (SURVEY.md §5.8):
 
-- one ``jax.sharding.Mesh`` with a ``data`` axis over ICI (optionally a
-  leading ``dcn`` axis for multi-slice later),
+- one ``jax.sharding.Mesh`` with a ``data`` axis over ICI; multi-slice
+  pods add a leading ``dcn`` axis (``create_mesh_multislice``) so
+  gradient reduction rides ICI within each slice and only slice-level
+  partials cross the datacenter network,
 - batch-data-parallel training via ``jax.jit`` with NamedSharding
   annotations: batches are sharded on ``data``, params/optimizer state
   replicated, and XLA inserts the gradient ``psum`` automatically from
@@ -53,8 +55,64 @@ def create_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dimension across the data axis."""
+def create_mesh_multislice(n_slices: Optional[int] = None,
+                           devices: Optional[Sequence] = None,
+                           axis_names: Tuple[str, str] = ("dcn", "data")
+                           ) -> Mesh:
+    """Hierarchical (DCN x ICI) mesh for multi-slice data parallelism.
+
+    Multi-slice TPU pods connect chips within a slice over ICI and
+    slices over the datacenter network (DCN), whose per-chip bandwidth
+    is an order of magnitude lower — so the slice boundary must be the
+    OUTER mesh axis: batches shard over both axes (``shard_batch``
+    upgrades its plain ``data`` spec automatically when it sees a
+    ``dcn`` axis), and XLA's hierarchical collectives then reduce
+    gradients within each slice over ICI first, exchanging only the
+    slice-level partial sums over DCN.
+
+    On real multi-slice hardware (devices expose ``slice_index``) the
+    grouping follows the topology; on single-slice or virtual-CPU
+    meshes ``n_slices`` splits the device list evenly in order — the
+    semantics (this module's DP trajectory guarantees) are identical,
+    only the collective routing differs.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) > 1:
+        by_slice: dict = {}
+        for d in devices:
+            by_slice.setdefault(d.slice_index, []).append(d)
+        rows = [by_slice[s] for s in sorted(by_slice)]
+        if len({len(r) for r in rows}) != 1:
+            raise ValueError("uneven devices per slice: "
+                             f"{sorted((s, len(r)) for s, r in by_slice.items())}")
+        if n_slices is not None and n_slices != len(rows):
+            raise ValueError(f"n_slices={n_slices} but the topology "
+                             f"has {len(rows)} slices")
+        grid = np.asarray(rows)
+    else:
+        if not n_slices or n_slices < 2:
+            raise ValueError("single-slice topology: pass n_slices >= 2 "
+                             "to split the device list (or use "
+                             "create_mesh for a flat data axis)")
+        if len(devices) % n_slices:
+            raise ValueError(f"{len(devices)} devices do not divide "
+                             f"into {n_slices} slices")
+        grid = np.asarray(devices).reshape(n_slices, -1)
+    return Mesh(grid, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis_name="data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis.
+
+    On a multi-slice mesh (``create_mesh_multislice``) a plain ``data``
+    request upgrades to ``(dcn, data)`` so the batch spreads over every
+    device — the ``dcn`` axis is outer data parallelism, not a model
+    axis."""
+    if axis_name == "data" and "dcn" in mesh.axis_names:
+        axis_name = ("dcn", "data")
     return NamedSharding(mesh, P(axis_name))
 
 

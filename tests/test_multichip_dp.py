@@ -194,6 +194,56 @@ def test_shard_batch_strict_raises_on_indivisible():
         shard_batch((x,), mesh, strict=True)
 
 
+def test_multislice_mesh_shards_batch_over_both_axes():
+    """create_mesh_multislice: the (dcn, data) hierarchy is outer data
+    parallelism — shard_batch's plain 'data' spec upgrades to both axes
+    so the batch spreads over every device (per-device shard = B/total),
+    with no call-site changes in the trainers/eval/push loops."""
+    from scaleprotoseg_tpu.parallel import create_mesh_multislice
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh_multislice(n_slices=2, devices=jax.devices()[:8])
+    assert dict(mesh.shape) == {"dcn": 2, "data": 4}
+    x = jnp.zeros((8, 4, 4, 3))
+    (s,) = shard_batch((x,), mesh, strict=True)
+    assert len(s.sharding.device_set) == 8
+    assert s.sharding.shard_shape(x.shape) == (1, 4, 4, 3)
+    with pytest.raises(ValueError, match="divide"):
+        create_mesh_multislice(n_slices=3, devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="n_slices"):
+        create_mesh_multislice(devices=jax.devices()[:8])
+
+
+@pytest.mark.slow  # one more toy-depth trajectory (compile-bound)
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_multislice_dp_matches_single_device_trajectory():
+    """The hierarchical (2 slices x 4 chips) mesh follows the flat-DP /
+    single-device loss trajectory: the dcn axis only changes collective
+    routing, never semantics."""
+    from scaleprotoseg_tpu.parallel import create_mesh_multislice
+
+    rng = np.random.default_rng(7)
+    batches = [
+        (jnp.asarray(rng.standard_normal((8, 33, 33, 3)), jnp.float32),
+         jnp.asarray(rng.integers(0, 4, (8, 33, 33)), jnp.int32))
+        for _ in range(2)
+    ]
+    losses = []
+    for mesh in (create_mesh(n_devices=1),
+                 create_mesh_multislice(n_slices=2,
+                                        devices=jax.devices()[:8])):
+        state, step = _setup()
+        trace = []
+        with mesh:
+            for image, target in batches:
+                sharded = shard_batch((image, target), mesh, strict=True)
+                state, metrics = step(state, *sharded)
+                trace.append(float(metrics["loss"]))
+        losses.append(trace)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
+
+
 def test_data_parallel_batch_scales():
     from scaleprotoseg_tpu.cli_common import data_parallel_batch
     mesh = create_mesh(n_devices=min(8, len(jax.devices())))
