@@ -31,3 +31,33 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(20220227)
+
+
+@pytest.fixture(scope="session")
+def shared_tiny_run(tmp_path_factory):
+    """One tiny-EM e2e training shared by read-mostly CLI tests.
+
+    The training is compile-dominated (~1 min on this 1-core host), so
+    the eval-CLI and pruning suites share a single run ("shared_run")
+    instead of each training their own.  Contract: consumers may ADD
+    artifacts under the run dir (evaluation/, pruned/, th-* checkpoints)
+    but must never modify checkpoints/{warmup,nopush,push}* or the
+    dataset — those are shared inputs.  Returns (results_root,
+    data_root, config_path); the run name is "shared_run".
+    """
+    root = build_synthetic_dataset(
+        str(tmp_path_factory.mktemp("synth_shared")))
+    results = tmp_path_factory.mktemp("results_shared")
+    os.environ["RESULTS_DIR"] = str(results)
+    from scaleprotoseg_tpu.train_wandb_multiscale import train
+    cfg = results / "tiny.gin"
+    cfg.write_text(TINY_EM_CONFIG.replace("train.joint_steps = 6",
+                                          "train.joint_steps = 3")
+                   .replace("train.finetune_steps = 4",
+                            "train.finetune_steps = 0"))
+    train(str(cfg), "shared_run", data_root=root, num_workers=2)
+    return str(results), root, str(cfg)
+
+
+# imported late so the jax platform pinning above runs first
+from e2e_utils import TINY_EM_CONFIG, build_synthetic_dataset  # noqa: E402

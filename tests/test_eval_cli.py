@@ -6,34 +6,24 @@ import os
 import numpy as np
 import pytest
 
-from e2e_utils import TINY_EM_CONFIG, build_synthetic_dataset
-
-
 @pytest.fixture(scope="module")
-def trained_run(tmp_path_factory):
-    root = build_synthetic_dataset(
-        str(tmp_path_factory.mktemp("synth_eval")))
-    results = tmp_path_factory.mktemp("results_eval")
-    os.environ["RESULTS_DIR"] = str(results)
-    from scaleprotoseg_tpu.train_wandb_multiscale import train
-    cfg = results / "tiny.gin"
-    cfg.write_text(TINY_EM_CONFIG.replace("train.joint_steps = 6",
-                                          "train.joint_steps = 3")
-                   .replace("train.finetune_steps = 4",
-                            "train.finetune_steps = 0"))
-    train(str(cfg), "eval_run", data_root=root, num_workers=2)
-    return str(results), root
+def trained_run(shared_tiny_run):
+    # read-mostly consumer of the session's shared tiny run (conftest):
+    # eval only ADDS evaluation/ artifacts under the run dir
+    results, root, _cfg = shared_tiny_run
+    os.environ["RESULTS_DIR"] = results
+    return results, root
 
 
 def test_eval_valid_multiscale(trained_run):
     results, root = trained_run
     from scaleprotoseg_tpu.eval_valid_multiscale import run_evaluation
-    res = run_evaluation("eval_run", "push_final", batch_size=2,
+    res = run_evaluation("shared_run", "push_final", batch_size=2,
                          data_type="em", data_root=root,
                          results_root=results)
     assert 0.0 <= res["mean_iou"] <= 1.0
     assert 0.0 <= res["pixel_accuracy"] <= 1.0
-    out_dir = os.path.join(results, "eval_run", "evaluation", "push_final")
+    out_dir = os.path.join(results, "shared_run", "evaluation", "push_final")
     with open(os.path.join(out_dir, "iou_scores.json")) as f:
         scores = json.load(f)
     assert set(scores) == {"background", "cell"}
@@ -48,7 +38,7 @@ def test_eval_valid_multiscale(trained_run):
     from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
                                                   spec_from_meta)
     _, _, meta = load_checkpoint(os.path.join(
-        results, "eval_run", "checkpoints", "push_final.ckpt"))
+        results, "shared_run", "checkpoints", "push_final.ckpt"))
     assert len(purity) == spec_from_meta(meta["spec"]).num_prototypes
     assert all(0.0 <= v <= 100.0 + 1e-9 for v in purity)
     assert os.path.exists(os.path.join(
@@ -67,7 +57,7 @@ def test_eval_test_png_export(trained_run, tmp_path):
         if not os.path.exists(dst):
             shutil.copytree(src, dst)
     from scaleprotoseg_tpu.eval_test import run_evaluation
-    out_dir = run_evaluation("eval_run", "push_final", batch_size=2,
+    out_dir = run_evaluation("shared_run", "push_final", batch_size=2,
                              data_root=root, results_root=results)
     pngs = [p for p in os.listdir(out_dir) if p.endswith(".png")]
     assert len(pngs) == 4

@@ -6,24 +6,16 @@ import os
 import numpy as np
 import pytest
 
-from e2e_utils import (TINY_EM_CONFIG, TINY_GROUP_CONFIG,
-                       build_synthetic_dataset)
+from e2e_utils import TINY_GROUP_CONFIG, build_synthetic_dataset
 
 
 @pytest.fixture(scope="module")
-def trained(tmp_path_factory):
-    root = build_synthetic_dataset(
-        str(tmp_path_factory.mktemp("synth_prune")))
-    results = tmp_path_factory.mktemp("results_prune")
-    os.environ["RESULTS_DIR"] = str(results)
-    from scaleprotoseg_tpu.train_wandb_multiscale import train
-    cfg = results / "tiny.gin"
-    cfg.write_text(TINY_EM_CONFIG.replace("train.joint_steps = 6",
-                                          "train.joint_steps = 3")
-                   .replace("train.finetune_steps = 4",
-                            "train.finetune_steps = 0"))
-    train(str(cfg), "prune_run", data_root=root, num_workers=2)
-    return str(results), root, str(cfg)
+def trained(shared_tiny_run):
+    # consumer of the session's shared tiny run (conftest): pruning only
+    # ADDS pruned/ + th-* artifacts, never rewrites the push checkpoints
+    results, root, cfg = shared_tiny_run
+    os.environ["RESULTS_DIR"] = results
+    return results, root, cfg
 
 
 def test_find_nearest_labels_shape_and_range(trained):
@@ -32,7 +24,7 @@ def test_find_nearest_labels_shape_and_range(trained):
     from scaleprotoseg_tpu.find_nearest import (
         find_k_nearest_patches_to_prototypes)
     from scaleprotoseg_tpu.model_loading import load_model
-    model_dir = os.path.join(results, "prune_run")
+    model_dir = os.path.join(results, "shared_run")
     model, spec, variables = load_model(
         model_dir, os.path.join(model_dir, "checkpoints",
                                 "push_last.ckpt"))
@@ -50,7 +42,7 @@ def test_find_nearest_labels_shape_and_range(trained):
 def test_run_pruning_and_threshold_save(trained):
     results, root, cfg = trained
     from scaleprotoseg_tpu.run_pruning import run_pruning
-    out = run_pruning(cfg, "prune_run", k=3, prune_threshold=1,
+    out = run_pruning(cfg, "shared_run", k=3, prune_threshold=1,
                       push_batch_size=2, data_root=root,
                       results_root=results)
     assert os.path.exists(out)
@@ -60,7 +52,7 @@ def test_run_pruning_and_threshold_save(trained):
     assert params["prototype_vectors"].shape[0] == len(kept)
     assert params["last_layer"].shape[0] == len(kept)
     # bookkeeping artifacts
-    model_dir = os.path.join(results, "prune_run")
+    model_dir = os.path.join(results, "shared_run")
     book = [d for d in os.listdir(model_dir)
             if d.startswith("pruned_prototypes_")]
     assert book

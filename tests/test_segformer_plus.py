@@ -34,8 +34,11 @@ def test_segformer_optimizer_groups():
 
     factory = base_architecture_to_features["segformer_multiscale"]
     module, _, _ = factory(deeplab_n_features=8)
-    variables = module.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 32, 32, 3)))
+    # only the param-tree structure matters: eval_shape skips the
+    # 30s+ compile of the full MiT init on this host
+    variables = jax.eval_shape(
+        lambda k: module.init(k, jnp.zeros((1, 32, 32, 3))),
+        jax.random.PRNGKey(0))
     labels = traverse_util.flatten_dict(
         label_params({"backbone": variables["params"]}))
     decode = {k: v for k, v in labels.items() if "decode_head" in k}
