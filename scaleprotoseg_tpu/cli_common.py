@@ -103,6 +103,30 @@ def train_hparams() -> dict:
     )
 
 
+def training_mesh(n_devices: Optional[int] = None):
+    """Build the CLI's device mesh from gin bindings.
+
+    Flat data-parallel over all visible devices by default; pin the
+    count with ``train.num_devices`` (or the CLI flag).  On a
+    multi-slice pod set ``train.num_slices`` to lay the slice boundary
+    out as the outer mesh axis (``parallel.create_mesh_multislice``) so
+    gradient reduction rides ICI within each slice and only slice-level
+    partials cross DCN — training/eval/push semantics are unchanged
+    (``shard_batch`` spreads batches over both axes automatically).
+    """
+    import jax
+
+    from scaleprotoseg_tpu.parallel import (create_mesh,
+                                            create_mesh_multislice)
+
+    n = n_devices or configlib.query("train", "num_devices", None)
+    n_slices = configlib.query("train", "num_slices", None)
+    if n_slices:
+        devices = jax.devices()[:n] if n else None
+        return create_mesh_multislice(n_slices=n_slices, devices=devices)
+    return create_mesh(n_devices=n)
+
+
 def data_parallel_batch(batch_size: int, mesh, log=print) -> int:
     """Scale a config batch size to ``batch_size * mesh_size``.
 

@@ -117,18 +117,16 @@ def run_evaluation(model_name: str, training_phase: str,
 
     import jax.numpy as jnp
 
-    from scaleprotoseg_tpu import configlib
-    from scaleprotoseg_tpu.parallel import create_mesh
+    from scaleprotoseg_tpu import cli_common
     # The fused Pallas ASPP carries a batch-dim custom_partitioning rule
     # (ops/pallas_aspp.py fused_aspp_sharded): on a >1-device mesh each
     # device runs the kernel on its batch shard, so multi-chip eval
     # keeps both the data-parallel fan-out and the fused head.
     model, spec, variables = load_model(model_path, checkpoint,
                                         dtype=jnp.bfloat16, fast=fast)
-    # load_model parsed the run's config.gin; query the pinned device
-    # count from it (None = use all visible devices)
-    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
-                                                 None))
+    # load_model parsed the run's config.gin; training_mesh queries the
+    # pinned device count / slice layout from it
+    mesh = cli_common.training_mesh()
     dataset_path = data_root or settings.data_path(data_type)
     img_dir = os.path.join(dataset_path, f"img_with_margin_{margin}", "val")
     ann_dir = os.path.join(dataset_path, "annotations", "val")

@@ -63,9 +63,7 @@ def train(config: str, experiment_name: str,
     log = log or create_logger(os.path.join(results_dir, "train.log"))
     cli_common.seed_everything(hp["random_seed"])
 
-    from scaleprotoseg_tpu.parallel import create_mesh
-    mesh = create_mesh(n_devices=n_devices or
-                       configlib.query("train", "num_devices", None))
+    mesh = cli_common.training_mesh(n_devices)
     warmup_batch = cli_common.data_parallel_batch(
         hp["warmup_batch_size"], mesh, log=log)
     joint_batch = cli_common.data_parallel_batch(

@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import os
 
-from scaleprotoseg_tpu import cli_common, configlib
+from scaleprotoseg_tpu import cli_common
 from scaleprotoseg_tpu.train_wandb_multiscale import train as _train
 
 
@@ -52,9 +52,7 @@ def train_pruned(config: str, experiment_name: str, data_root=None,
     variant = "group" if model.grouped else (
         "multiscale" if spec.num_scales > 1 else "single")
     mhp = module_hparams(variant)
-    from scaleprotoseg_tpu.parallel import create_mesh
-    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
-                                                 None))
+    mesh = cli_common.training_mesh()
     trainer = PhaseTrainer(model, spec, variant,
                            os.path.join(results_dir, "pruned"), mhp,
                            logger=MetricsLogger(

@@ -71,12 +71,11 @@ def train(config: str, experiment_name: str,
     log = log or create_logger(os.path.join(results_dir, "train.log"))
     cli_common.seed_everything(hp["random_seed"])
 
-    from scaleprotoseg_tpu.parallel import create_mesh
     # Data-parallel over all visible devices by default; pin with
     # --num-devices / gin ``train.num_devices`` (e.g. 1 to reproduce the
-    # reference's single-device batch semantics exactly).
-    mesh = create_mesh(n_devices=n_devices or
-                       configlib.query("train", "num_devices", None))
+    # reference's single-device batch semantics exactly), or set
+    # ``train.num_slices`` on a multi-slice pod (cli_common.training_mesh).
+    mesh = cli_common.training_mesh(n_devices)
     warmup_batch = cli_common.data_parallel_batch(
         hp["warmup_batch_size"], mesh, log=log)
     joint_batch = cli_common.data_parallel_batch(

@@ -244,6 +244,30 @@ def test_multislice_dp_matches_single_device_trajectory():
     np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
 
 
+def test_training_mesh_gin_wiring():
+    """The CLIs reach the multi-slice mesh through gin: train.num_slices
+    switches cli_common.training_mesh to the hierarchical layout;
+    train.num_devices keeps pinning the flat data mesh."""
+    import scaleprotoseg_tpu.configlib as configlib
+    from scaleprotoseg_tpu.cli_common import training_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    configlib.clear_config()
+    try:
+        configlib.parse_config("train.num_slices = 2\n")
+        mesh = training_mesh()
+        assert dict(mesh.shape) == {"dcn": 2, "data": len(jax.devices()) // 2}
+        configlib.clear_config()
+        configlib.parse_config("train.num_devices = 4\n")
+        mesh = training_mesh()
+        assert dict(mesh.shape) == {"data": 4}
+        # CLI flag takes precedence over all-devices default
+        assert dict(training_mesh(2).shape) == {"data": 2}
+    finally:
+        configlib.clear_config()
+
+
 def test_data_parallel_batch_scales():
     from scaleprotoseg_tpu.cli_common import data_parallel_batch
     mesh = create_mesh(n_devices=min(8, len(jax.devices())))
