@@ -138,22 +138,27 @@ class _Stub:
             self.__dict__.update(state)
 
     def _walk(self, prefix=""):
-        """Yield (name, tensor) like torch named_parameters + buffers.
-        Children may be stubs (missing classes) or real torch modules
-        (importable classes like nn.Linear) — walk both."""
-        d = self.__dict__
-        for coll in ("_parameters", "_buffers"):
-            for name, t in (d.get(coll) or {}).items():
-                if t is not None:
-                    yield prefix + name, t
-        for name, mod in (d.get("_modules") or {}).items():
-            if mod is None:
-                continue
-            if hasattr(mod, "_walk"):
-                yield from mod._walk(prefix + name + ".")
-            elif hasattr(mod, "state_dict"):
-                for k, v in mod.state_dict().items():
-                    yield prefix + name + "." + k, v
+        """Yield (name, tensor) like torch named_parameters + buffers."""
+        yield from _walk_any(self, prefix)
+
+
+def _walk_any(mod, prefix=""):
+    """Named parameters + buffers of a mixed stub/real module tree.
+
+    Real torch containers can hold stub children (reference pickles:
+    importable ``nn.Sequential`` wrapping missing ``deeplab_pytorch``
+    block classes), so ``state_dict()`` is unusable on them — it
+    recurses into children assuming every one is an nn.Module.  Walk
+    the ``_parameters``/``_buffers``/``_modules`` dicts directly
+    instead; both stubs and real modules carry exactly these."""
+    d = getattr(mod, "__dict__", {})
+    for coll in ("_parameters", "_buffers"):
+        for name, t in (d.get(coll) or {}).items():
+            if t is not None:
+                yield prefix + name, t
+    for name, child in (d.get("_modules") or {}).items():
+        if child is not None:
+            yield from _walk_any(child, prefix + name + ".")
 
 
 def _install_stub_modules():
@@ -220,14 +225,17 @@ def load_reference_pickle_with_meta(path: str):
     if pci is not None and hasattr(pci, "detach"):
         meta["prototype_class_identity"] = pci.detach().cpu().numpy()
 
-    if hasattr(obj, "state_dict"):
-        sd = obj.state_dict()
-        sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
-    elif hasattr(obj, "_walk"):
+    try:
+        # fully-importable pickles (rare) take the exact torch path
+        sd = {k: v.detach().cpu().numpy()
+              for k, v in obj.state_dict().items()}
+    except Exception:
+        # stub top-level, or a real container with stub children (the
+        # normal Zenodo shape) — walk the module dicts directly
         sd = {k: np.asarray(v.detach().cpu().numpy()
                             if hasattr(v, "detach") else v)
-              for k, v in obj._walk()}
-    else:
+              for k, v in _walk_any(obj)}
+    if not sd:
         raise ValueError(f"Cannot extract tensors from {type(obj)!r}")
     return sd, meta
 
@@ -341,6 +349,110 @@ def ppnet_statedict_to_params(sd: Dict[str, np.ndarray], spec
         out["add_on_layers"] = addon
 
     return out, out_stats
+
+
+# ---------------------------------------------------------------------------
+# Framework params -> reference-named torch state dict (the way back)
+# ---------------------------------------------------------------------------
+def _convbn_to_statedict(tree: Dict, stats: Dict, out: Dict, prefix: str):
+    """Inverse of ``_assign_convbn``: walk ``{conv: {kernel, bias},
+    bn: {scale, bias}}`` nodes into deeplab-named torch keys."""
+    for name, node in tree.items():
+        if not isinstance(node, dict):
+            continue
+        sub_stats = (stats or {}).get(name, {})
+        if "conv" in node or "bn" in node:
+            conv = node.get("conv", {})
+            if "kernel" in conv:  # HWIO -> OIHW
+                out[f"{prefix}{name}.conv.weight"] = \
+                    np.asarray(conv["kernel"]).transpose(3, 2, 0, 1)
+            if "bias" in conv:
+                out[f"{prefix}{name}.conv.bias"] = np.asarray(conv["bias"])
+            bn = node.get("bn", {})
+            sbn = sub_stats.get("bn", {})
+            if bn:
+                out[f"{prefix}{name}.bn.weight"] = np.asarray(bn["scale"])
+                out[f"{prefix}{name}.bn.bias"] = np.asarray(bn["bias"])
+                if "mean" in sbn:
+                    out[f"{prefix}{name}.bn.running_mean"] = \
+                        np.asarray(sbn["mean"])
+                if "var" in sbn:
+                    out[f"{prefix}{name}.bn.running_var"] = \
+                        np.asarray(sbn["var"])
+                # torch BN state dicts carry this counter; emit 0 so the
+                # reference's strict load_state_dict accepts the export
+                out[f"{prefix}{name}.bn.num_batches_tracked"] = \
+                    np.asarray(0, np.int64)
+        else:
+            _convbn_to_statedict(node, sub_stats, out,
+                                 f"{prefix}{name}.")
+
+
+def ppnet_params_to_statedict(params: Dict, batch_stats: Optional[Dict],
+                              spec, addon_seq_index=None
+                              ) -> Dict[str, np.ndarray]:
+    """Inverse of ``ppnet_statedict_to_params``: framework param tree ->
+    reference-named torch state dict (numpy values, OIHW kernels).
+
+    The escape hatch of the migration: weights trained here load back
+    into the reference's PPNet classes via ``load_state_dict`` (the
+    reference's own cross-phase bootstrap uses ``strict=False``,
+    `segmentation/finetune_wandb_group.py:74-84`).  Group weights are
+    re-packed from our dense padded (C, G, Pc_max) layout into the
+    reference's per-nonempty-class ``group_projection.{k}.weight``
+    ModuleList entries; ``last_layer_group`` back into its packed
+    (C, G·len(nonzero)) form (`model_multiscale_group.py:480-491`).
+
+    ``addon_seq_index`` maps our ``conv{i}`` add-on convs to torch
+    Sequential indices; the default ``2*i`` matches the reference's
+    [Conv, ReLU]*+Sigmoid stacks (`model.py:144-186`) — all shipped
+    configs use ``deeplab_simple`` (Sigmoid only), where this is moot.
+    """
+    if addon_seq_index is None:
+        addon_seq_index = lambda i: 2 * i  # noqa: E731
+    sd: Dict[str, np.ndarray] = {}
+    bb = params.get("backbone", {})
+    bstats = (batch_stats or {}).get("backbone", {})
+    _convbn_to_statedict({k: v for k, v in bb.items() if k != "aspp"},
+                         bstats, sd, "features.base.")
+    for branch, entry in bb.get("aspp", {}).items():
+        sd[f"features.base.aspp.{branch}.weight"] = \
+            np.asarray(entry["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in entry:
+            sd[f"features.base.aspp.{branch}.bias"] = \
+                np.asarray(entry["bias"])
+
+    if "prototype_vectors" in params:
+        pv = np.asarray(params["prototype_vectors"])
+        sd["prototype_vectors"] = pv.reshape(pv.shape[0], pv.shape[1], 1, 1)
+    if "last_layer" in params:
+        sd["last_layer.weight"] = \
+            np.ascontiguousarray(np.asarray(params["last_layer"]).T)
+    nonzero = [c for c in range(spec.num_classes)
+               if spec.class_counts[c] > 0]
+    if "last_layer_group" in params:
+        g = spec.num_groups
+        full = np.asarray(params["last_layer_group"])   # (C*G, C)
+        w = np.zeros((spec.num_classes, len(nonzero) * g), np.float32)
+        for k, c in enumerate(nonzero):
+            w[:, k * g:(k + 1) * g] = full[c * g:(c + 1) * g, :].T
+        sd["last_layer_group.weight"] = w
+    if "group_projection" in params:
+        gw = np.asarray(params["group_projection"])     # (C, G, Pc_max)
+        for k, c in enumerate(nonzero):
+            pc = spec.class_counts[c]
+            sd[f"group_projection.{k}.weight"] = \
+                np.ascontiguousarray(gw[c, :, :pc], np.float32)
+    addon = params.get("add_on_layers", {})
+    for name in sorted(addon, key=lambda n: int(n[len("conv"):])):
+        seq_i = addon_seq_index(int(name[len("conv"):]))
+        entry = addon[name]
+        if "kernel" in entry:
+            sd[f"add_on_layers.{seq_i}.weight"] = \
+                np.asarray(entry["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in entry:
+            sd[f"add_on_layers.{seq_i}.bias"] = np.asarray(entry["bias"])
+    return sd
 
 
 def load_torch_backbone_into(variables: Dict, path: str, log=print) -> Dict:

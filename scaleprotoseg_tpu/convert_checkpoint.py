@@ -11,6 +11,11 @@ released Zenodo checkpoints with mIoU parity"):
     python -m scaleprotoseg_tpu.convert_checkpoint torchvision \\
         resnet101.pth backbone.ckpt
 
+    # the way back: framework checkpoint -> reference-named torch
+    # state dict (loads into the reference's PPNet classes)
+    python -m scaleprotoseg_tpu.convert_checkpoint export-torch \\
+        out/checkpoints/push_final.ckpt push_final_sd.pth
+
 The reference variant reconstructs the ProtoSpec from the pickle's
 module attributes (scale ranges survive push-time pruning), maps every
 tensor onto the framework's param tree, and writes a standard
@@ -91,9 +96,40 @@ def convert_torchvision(src: str, dst: str) -> str:
     return dst
 
 
+def export_torch(src: str, dst: str) -> str:
+    """Framework checkpoint -> reference-named torch state dict (.pth).
+
+    The way back for migrating users: the exported dict loads into the
+    reference's PPNet classes via ``load_state_dict`` (the reference's
+    own cross-phase bootstrap is a ``strict=False`` state-dict load,
+    `segmentation/finetune_wandb_group.py:74-84`), so weights trained
+    here can drive the reference's training/analysis stack.
+    """
+    import torch
+
+    from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
+                                                  spec_from_meta)
+    from scaleprotoseg_tpu.checkpoints.torch_convert import (
+        ppnet_params_to_statedict)
+
+    params, batch_stats, meta = load_checkpoint(src)
+    if "spec" not in meta:
+        raise ValueError(f"{src} has no ProtoSpec metadata — only full "
+                         "model checkpoints export to torch")
+    spec = spec_from_meta(meta["spec"])
+    sd = ppnet_params_to_statedict(params, batch_stats, spec)
+    # torch.tensor copies, so jax's non-writable numpy views are safe
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()},
+               dst)
+    print(f"Exported {src} -> {dst} ({len(sd)} tensors, reference "
+          "state-dict naming)")
+    return dst
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=["reference", "torchvision"])
+    p.add_argument("kind", choices=["reference", "torchvision",
+                                    "export-torch"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--variant", default="auto",
@@ -105,6 +141,8 @@ def main():
     a = p.parse_args()
     if a.kind == "reference":
         convert_reference(a.src, a.dst, a.variant, config=a.config)
+    elif a.kind == "export-torch":
+        export_torch(a.src, a.dst)
     else:
         convert_torchvision(a.src, a.dst)
 

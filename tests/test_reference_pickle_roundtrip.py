@@ -434,3 +434,46 @@ def test_convert_checkpoint_cli_installs_config(tmp_path, monkeypatch):
     convert_checkpoint.main()
     cfg = (run_dir / "config.gin").read_text()
     assert "construct_PPNet_Group" in cfg
+
+
+def test_export_torch_roundtrip(tmp_path):
+    """The way back (convert_checkpoint export-torch): a framework
+    checkpoint exports to a reference-named torch state dict that (a)
+    equals the original module's tensors bit-for-bit after the full
+    torch -> jax -> torch loop, and (b) load_state_dict's into a FRESH
+    reference-style module, reproducing the original's outputs."""
+    from scaleprotoseg_tpu.convert_checkpoint import export_torch
+
+    model, spec0 = _build_reference_style_module()
+    model = _graft_group_head(model, spec0)
+    _, _, meta = _roundtrip(model, tmp_path, "final-group")
+    sd_path = tmp_path / "final-group_sd.pth"
+    export_torch(str(tmp_path / "final-group.ckpt"), str(sd_path))
+    exported = torch.load(str(sd_path), weights_only=True)
+
+    orig = {k: v.detach().cpu().numpy()
+            for k, v in model.state_dict().items()}
+    # "ones" is the reference's constant L2 helper buffer — rebuilt by
+    # its constructor, never converted in either direction
+    expect_keys = {k for k in orig if k != "ones"}
+    assert set(exported) == expect_keys
+    for k in sorted(expect_keys):
+        np.testing.assert_array_equal(
+            exported[k].numpy(), orig[k],
+            err_msg=f"roundtrip mismatch at {k}")
+
+    # loads into a fresh reference-style module and reproduces outputs
+    fresh, _ = _build_reference_style_module(seed=99)
+    fresh = _graft_group_head(fresh, spec0, seed=98)
+    missing, unexpected = fresh.load_state_dict(exported, strict=False)
+    assert list(missing) == ["ones"] and not unexpected
+    _pop_fake_modules()
+    x = np.random.default_rng(5).standard_normal(
+        (1, 33, 33, 3)).astype(np.float32)
+    cspec = spec_from_meta(meta["spec"])
+    d0 = _torch_distances(model, x, cspec)
+    d1 = _torch_distances(fresh, x, cspec)
+    np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(_torch_logits_grouped(fresh, d1, cspec),
+                               _torch_logits_grouped(model, d0, cspec),
+                               rtol=1e-5, atol=1e-5)

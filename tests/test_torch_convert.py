@@ -194,3 +194,30 @@ def test_ppnet_statedict_mapping_group_scatter():
     # packed column block k -> class k rows, transposed
     np.testing.assert_allclose(
         glw[3:6, :], sd["last_layer_group.weight"][:, 3:6].T)
+
+
+def test_walk_any_mixed_real_and_stub_children():
+    """Zenodo-shaped trees: a REAL (importable) torch container wrapping
+    STUB children of missing deeplab_pytorch classes.  state_dict()
+    cannot walk those (it assumes every child is an nn.Module);
+    _walk_any must (regression: the conversion chain crashed with
+    "'TBottleneck' object has no attribute 'state_dict'" whenever the
+    pickle's custom classes were genuinely unimportable)."""
+    import pytest
+    import torch
+    from torch import nn
+
+    from scaleprotoseg_tpu.checkpoints.torch_convert import (_Stub,
+                                                             _walk_any)
+
+    stub = _Stub()
+    stub.__setstate__({"_parameters": {"weight": torch.ones(2, 3)},
+                       "_buffers": {"running_mean": torch.zeros(2)},
+                       "_modules": {}})
+    seq = nn.Sequential(nn.Identity())
+    seq._modules["block1"] = stub        # what stub-unpickling produces
+    with pytest.raises(AttributeError):
+        seq.state_dict()
+    walked = dict(_walk_any(seq))
+    assert set(walked) == {"block1.weight", "block1.running_mean"}
+    assert walked["block1.weight"].shape == (2, 3)
