@@ -389,7 +389,7 @@ def _convbn_to_statedict(tree: Dict, stats: Dict, out: Dict, prefix: str):
 
 
 def ppnet_params_to_statedict(params: Dict, batch_stats: Optional[Dict],
-                              spec, addon_seq_index=None
+                              spec, addon_seq_index=None, log=print
                               ) -> Dict[str, np.ndarray]:
     """Inverse of ``ppnet_statedict_to_params``: framework param tree ->
     reference-named torch state dict (numpy values, OIHW kernels).
@@ -401,12 +401,16 @@ def ppnet_params_to_statedict(params: Dict, batch_stats: Optional[Dict],
     re-packed from our dense padded (C, G, Pc_max) layout into the
     reference's per-nonempty-class ``group_projection.{k}.weight``
     ModuleList entries; ``last_layer_group`` back into its packed
-    (C, G·len(nonzero)) form (`model_multiscale_group.py:480-491`).
+    (C, G·len(nonzero)) form
+    (`segmentation/model/model_multiscale_group.py:480-491`).
 
     ``addon_seq_index`` maps our ``conv{i}`` add-on convs to torch
     Sequential indices; the default ``2*i`` matches the reference's
-    [Conv, ReLU]*+Sigmoid stacks (`model.py:144-186`) — all shipped
-    configs use ``deeplab_simple`` (Sigmoid only), where this is moot.
+    [Conv, ReLU]*+Sigmoid stacks (`segmentation/model/model.py:144-186`)
+    — all shipped configs use ``deeplab_simple`` (Sigmoid only), where
+    this is moot.  Unrecognized non-empty param subtrees (e.g. the
+    optional ScaleHead, which no shipped config enables) are NOT
+    exported; ``log`` reports them so the drop is never silent.
     """
     if addon_seq_index is None:
         addon_seq_index = lambda i: 2 * i  # noqa: E731
@@ -452,6 +456,13 @@ def ppnet_params_to_statedict(params: Dict, batch_stats: Optional[Dict],
                 np.asarray(entry["kernel"]).transpose(3, 2, 0, 1)
         if "bias" in entry:
             sd[f"add_on_layers.{seq_i}.bias"] = np.asarray(entry["bias"])
+    handled = {"backbone", "prototype_vectors", "last_layer",
+               "last_layer_group", "group_projection", "add_on_layers"}
+    dropped = sorted(k for k in params if k not in handled)
+    if dropped:
+        log(f"export-torch: NOT exporting unrecognized param subtree(s) "
+            f"{dropped} — the reference load will keep its own init "
+            "there")
     return sd
 
 

@@ -121,9 +121,19 @@ def training_mesh(n_devices: Optional[int] = None):
 
     n = n_devices or configlib.query("train", "num_devices", None)
     n_slices = configlib.query("train", "num_slices", None)
-    if n_slices:
-        devices = jax.devices()[:n] if n else None
-        return create_mesh_multislice(n_slices=n_slices, devices=devices)
+    if n_slices and n_slices > 1:
+        devices = jax.devices()[:n] if n else jax.devices()
+        if len(devices) % n_slices == 0 and len(devices) >= 2 * n_slices:
+            return create_mesh_multislice(n_slices=n_slices,
+                                          devices=devices)
+        # a run's config.gin travels with its checkpoints: evaluating or
+        # prune-finetuning a multi-slice-trained run on a smaller host
+        # must degrade to a flat mesh (identical semantics, only the
+        # collective routing differs), not crash
+        import logging
+        logging.getLogger(__name__).warning(
+            "train.num_slices=%d does not fit the %d visible device(s); "
+            "falling back to a flat data mesh", n_slices, len(devices))
     return create_mesh(n_devices=n)
 
 

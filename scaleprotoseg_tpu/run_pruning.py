@@ -13,7 +13,7 @@ import argparse
 import os
 from typing import Optional
 
-from scaleprotoseg_tpu import cli_common, configlib, settings
+from scaleprotoseg_tpu import cli_common, settings
 from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
 from scaleprotoseg_tpu.model_loading import load_model
 from scaleprotoseg_tpu.prune import prune_prototypes
@@ -40,9 +40,7 @@ def run_pruning(config: str, experiment_name: str, k: int = 6,
     model, spec, variables = load_model(model_dir, ckpt)
     cli_common.load_config(config)  # reload (load_model reparses run config)
 
-    from scaleprotoseg_tpu.parallel import create_mesh
-    mesh = create_mesh(n_devices=configlib.query("train", "num_devices",
-                                                 None))
+    mesh = cli_common.training_mesh()
     if mesh.devices.size > 1 and push_batch_size % mesh.devices.size:
         push_batch_size = push_batch_size * mesh.devices.size
         log(f"data-parallel x{mesh.devices.size}: push batch "

@@ -48,14 +48,15 @@ def test_eval_valid_multiscale(trained_run):
 
 
 def test_eval_test_png_export(trained_run, tmp_path):
-    results, root = trained_run
-    # fabricate a test split from val images
+    results, shared_root = trained_run
+    # fabricate a test split in a per-test COPY of the dataset — the
+    # shared fixture's data root must stay unmodified (conftest contract)
     import shutil
+    root = str(tmp_path / "data")
+    shutil.copytree(shared_root, root)
     for sub in ("annotations", "img_with_margin_0"):
-        src = os.path.join(root, sub, "val")
-        dst = os.path.join(root, sub, "test")
-        if not os.path.exists(dst):
-            shutil.copytree(src, dst)
+        shutil.copytree(os.path.join(root, sub, "val"),
+                        os.path.join(root, sub, "test"))
     from scaleprotoseg_tpu.eval_test import run_evaluation
     out_dir = run_evaluation("shared_run", "push_final", batch_size=2,
                              data_root=root, results_root=results)

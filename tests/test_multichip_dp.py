@@ -264,6 +264,13 @@ def test_training_mesh_gin_wiring():
         assert dict(mesh.shape) == {"data": 4}
         # CLI flag takes precedence over all-devices default
         assert dict(training_mesh(2).shape) == {"data": 2}
+        # a multi-slice run's config.gin travels with its checkpoints:
+        # on a host too small for the slice layout, eval/prune must
+        # degrade to a flat mesh (same semantics), not crash
+        configlib.clear_config()
+        configlib.parse_config("train.num_slices = 2\n"
+                               "train.num_devices = 1\n")
+        assert dict(training_mesh().shape) == {"data": 1}
     finally:
         configlib.clear_config()
 
