@@ -329,6 +329,17 @@ def ppnet_statedict_to_params(sd: Dict[str, np.ndarray], spec
             gw[c, :, :w.shape[1]] = w
         out["group_projection"] = gw
 
+    # optional WeightedAgg scale head: only the 'concat' strategy has
+    # params (`segmentation/model/scale_head.py:44-53`, a Linear(2D, D)
+    # in a [Linear, Sigmoid] block); no shipped config enables it
+    sh_w = sd.get("scale_head.output_layer.linear_block.0.weight")
+    if sh_w is not None:
+        out["scale_head"] = {"linear": {
+            "kernel": np.ascontiguousarray(np.asarray(sh_w).T)}}
+        sh_b = sd.get("scale_head.output_layer.linear_block.0.bias")
+        if sh_b is not None:
+            out["scale_head"]["linear"]["bias"] = np.asarray(sh_b)
+
     # add-on convs (bottleneck/regular types): torch Sequential indices
     # include parameter-free activations, so map convs by order of their
     # numeric Sequential index onto our conv0, conv1, ...
@@ -408,9 +419,8 @@ def ppnet_params_to_statedict(params: Dict, batch_stats: Optional[Dict],
     Sequential indices; the default ``2*i`` matches the reference's
     [Conv, ReLU]*+Sigmoid stacks (`segmentation/model/model.py:144-186`)
     — all shipped configs use ``deeplab_simple`` (Sigmoid only), where
-    this is moot.  Unrecognized non-empty param subtrees (e.g. the
-    optional ScaleHead, which no shipped config enables) are NOT
-    exported; ``log`` reports them so the drop is never silent.
+    this is moot.  Any unrecognized non-empty param subtree is NOT
+    exported; ``log`` reports it so the drop is never silent.
     """
     if addon_seq_index is None:
         addon_seq_index = lambda i: 2 * i  # noqa: E731
@@ -447,6 +457,13 @@ def ppnet_params_to_statedict(params: Dict, batch_stats: Optional[Dict],
             pc = spec.class_counts[c]
             sd[f"group_projection.{k}.weight"] = \
                 np.ascontiguousarray(gw[c, :, :pc], np.float32)
+    if "scale_head" in params:
+        lin = params["scale_head"]["linear"]
+        sd["scale_head.output_layer.linear_block.0.weight"] = \
+            np.ascontiguousarray(np.asarray(lin["kernel"]).T)
+        if "bias" in lin:
+            sd["scale_head.output_layer.linear_block.0.bias"] = \
+                np.asarray(lin["bias"])
     addon = params.get("add_on_layers", {})
     for name in sorted(addon, key=lambda n: int(n[len("conv"):])):
         seq_i = addon_seq_index(int(name[len("conv"):]))
@@ -457,7 +474,8 @@ def ppnet_params_to_statedict(params: Dict, batch_stats: Optional[Dict],
         if "bias" in entry:
             sd[f"add_on_layers.{seq_i}.bias"] = np.asarray(entry["bias"])
     handled = {"backbone", "prototype_vectors", "last_layer",
-               "last_layer_group", "group_projection", "add_on_layers"}
+               "last_layer_group", "group_projection", "add_on_layers",
+               "scale_head"}
     dropped = sorted(k for k in params if k not in handled)
     if dropped:
         log(f"export-torch: NOT exporting unrecognized param subtree(s) "

@@ -221,3 +221,56 @@ def test_walk_any_mixed_real_and_stub_children():
     walked = dict(_walk_any(seq))
     assert set(walked) == {"block1.weight", "block1.running_mean"}
     assert walked["block1.weight"].shape == (2, 3)
+
+
+def test_scale_head_conversion_both_directions():
+    """The optional WeightedAgg 'concat' scale head converts in both
+    directions: reference `scale_head.output_layer.linear_block.0.*`
+    (Linear(2D, D), `segmentation/model/scale_head.py:44-53`) <-> our
+    `params['scale_head']['linear']` Dense — and the mapped tree slots
+    straight into a PPNet built with scale_head_type='concat'."""
+    import torch
+    from torch import nn
+
+    from scaleprotoseg_tpu.checkpoints.torch_convert import (
+        ppnet_params_to_statedict, ppnet_statedict_to_params)
+    from scaleprotoseg_tpu.models.ppnet import PPNet
+
+    D = 8
+    spec = ProtoSpec.equal_allocation(24, D, num_classes=3, num_scales=4)
+    torch.manual_seed(0)
+    lin = nn.Linear(2 * D, D)
+    sd = {
+        "prototype_vectors": np.random.default_rng(0).random(
+            (24, D, 1, 1)).astype(np.float32),
+        "last_layer.weight": np.zeros((3, 24), np.float32),
+        "scale_head.output_layer.linear_block.0.weight":
+            lin.weight.detach().numpy(),
+        "scale_head.output_layer.linear_block.0.bias":
+            lin.bias.detach().numpy(),
+    }
+    params, _ = ppnet_statedict_to_params(sd, spec)
+    assert params["scale_head"]["linear"]["kernel"].shape == (2 * D, D)
+
+    # the converted subtree matches the real model's param structure
+    model = PPNet(backbone=DeepLabV2(n_out=D, n_blocks=(1, 1, 1, 1),
+                                     aspp_mode="concat"),
+                  spec=spec, backbone_channels=4 * D,
+                  scale_head_type="concat")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 33, 33, 3)))
+    ref_sh = variables["params"]["scale_head"]["linear"]
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(np.shape, ref_sh)) == jax.tree_util.tree_structure(
+        jax.tree.map(np.shape, params["scale_head"]["linear"]))
+    assert ref_sh["kernel"].shape == \
+        params["scale_head"]["linear"]["kernel"].shape
+
+    # and the inverse round-trips bit-for-bit with no dropped-tree log
+    dropped = []
+    back = ppnet_params_to_statedict(params, None, spec,
+                                     log=dropped.append)
+    assert not dropped
+    for k in ("scale_head.output_layer.linear_block.0.weight",
+              "scale_head.output_layer.linear_block.0.bias"):
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
