@@ -283,6 +283,28 @@ def test_serve_cli_multiplatform_export(tiny, tmp_path):
         ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
 
 
+def test_quant8_export_roundtrip(tiny, tmp_path):
+    """--quant8 composes with --export: the dynamic-int8 conv graph
+    lowers through jax.export, and the deserialized artifact reproduces
+    the in-process quant8 jit forward exactly (same program)."""
+    import dataclasses
+
+    model, spec, variables = tiny
+    q8 = dataclasses.replace(
+        model, backbone=dataclasses.replace(model.backbone, quant8=True))
+    x = jnp.asarray(_images(2, rng_seed=9))
+    direct = np.asarray(jax.jit(make_serving_fn(q8))(variables, x))
+
+    exported = export_serving(q8, variables, height=33, width=33,
+                              batch=2, input_dtype=jnp.float32)
+    art = str(tmp_path / "artifact_q8")
+    save_artifact(art, exported, variables, spec=spec,
+                  extra={"quant8": True})
+    served = load_artifact(art)
+    np.testing.assert_array_equal(np.asarray(served.predict(x)), direct)
+    assert served.meta["extra"]["quant8"] is True
+
+
 def test_serve_cli_export_only_flags(tiny, tmp_path):
     """--platforms / --dynamic-batch shape the exported artifact: given
     without --export they error instead of silently disabling the fast
