@@ -37,7 +37,7 @@ def resize_label(label: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 
 @configurable(allowlist=["data_type", "mean", "std", "image_margin_size",
                          "window_size", "scales", "jitter",
-                         "only_19_from_cityscapes"])
+                         "only_19_from_cityscapes", "det_seed"])
 class PatchClassificationDataset:
     """Map-style dataset yielding (image NHWC float32, label int32)."""
 
@@ -56,6 +56,7 @@ class PatchClassificationDataset:
         jitter: bool = False,
         root: Optional[str] = None,
         native: object = "auto",
+        det_seed: Optional[int] = None,
     ):
         self.split_key = split_key
         self.is_eval = is_eval
@@ -68,6 +69,15 @@ class PatchClassificationDataset:
         self.scales = tuple(scales)
         self.jitter = jitter
         self.only_19 = only_19_from_cityscapes
+        # Deterministic-augmentation mode: when set, every sample's
+        # randomness comes from hash((det_seed, epoch, index)) instead of
+        # the process-global `random` stream, so item contents are
+        # independent of loader thread scheduling — the property exact
+        # mid-phase resume and bit-reproducible runs need.  Default off:
+        # the global stream matches the reference's DataLoader-worker
+        # nondeterminism (`segmentation/data/data_module.py:35-55`).
+        self.det_seed = det_seed
+        self.epoch = 0
 
         root = root or settings.data_path(data_type)
         self.root = root
@@ -96,6 +106,11 @@ class PatchClassificationDataset:
     def __len__(self) -> int:
         return len(self.img_ids)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the deterministic-augmentation stream (loader calls
+        this once per epoch; a no-op unless ``det_seed`` is set)."""
+        self.epoch = int(epoch)
+
     def get_img_path(self, img_id: str) -> str:
         return os.path.join(self.img_dir, img_id + ".png")
 
@@ -110,12 +125,12 @@ class PatchClassificationDataset:
             label = label[:, :, 0]
         return convert_targets(label, self.data_type).astype(np.int32)
 
-    def _color_jitter(self, image: np.ndarray) -> np.ndarray:
+    def _color_jitter(self, image: np.ndarray, r=random) -> np.ndarray:
         """Torchvision-style ColorJitter(0.2, 0.2, 0.2, 0.2) on [0,1] HWC."""
-        b = random.uniform(0.8, 1.2)
-        c = random.uniform(0.8, 1.2)
-        s = random.uniform(0.8, 1.2)
-        h = random.uniform(-0.2, 0.2)
+        b = r.uniform(0.8, 1.2)
+        c = r.uniform(0.8, 1.2)
+        s = r.uniform(0.8, 1.2)
+        h = r.uniform(-0.2, 0.2)
         image = np.clip(image * b, 0, 1)
         gray = image.mean(axis=-1, keepdims=True)
         image = np.clip((image - gray.mean()) * c + gray.mean(), 0, 1)
@@ -135,16 +150,20 @@ class PatchClassificationDataset:
             image = image[m:-m, m:-m]
 
         # draw all augmentation randomness up front (same order/stream as
-        # the pure-python pipeline so both paths are seed-compatible)
+        # the pure-python pipeline so both paths are seed-compatible);
+        # det_seed swaps the process-global stream for a per-(epoch,
+        # index) one, making items thread-schedule-independent
+        r = random if self.det_seed is None else \
+            random.Random(f"{self.det_seed}/{self.epoch}/{index}")
         in_h, in_w = label.shape
         scale = 1.0 if len(self.scales) < 2 else \
-            random.uniform(self.scales[0], self.scales[1])
+            r.uniform(self.scales[0], self.scales[1])
         rs_h, rs_w = int(in_h * scale), int(in_w * scale)
         pad_h = max(window[0] - rs_h, 0)
         pad_w = max(window[1] - rs_w, 0)
-        start_h = random.randint(0, rs_h + pad_h - window[0])
-        start_w = random.randint(0, rs_w + pad_w - window[1])
-        flip = random.random() < 0.5
+        start_h = r.randint(0, rs_h + pad_h - window[0])
+        start_w = r.randint(0, rs_w + pad_w - window[1])
+        flip = r.random() < 0.5
         use_jitter = self.jitter and not self.is_eval and \
             not self.push_prototypes
 
@@ -159,10 +178,10 @@ class PatchClassificationDataset:
 
         return self._python_aug(image, self.convert(label), window, scale,
                                 (rs_h, rs_w), (start_h, start_w), flip,
-                                use_jitter)
+                                use_jitter, r)
 
     def _python_aug(self, image, label, window, scale, resized, start,
-                    flip, use_jitter):
+                    flip, use_jitter, r=random):
         """Reference-parity numpy/cv2 pipeline (ref dataset.py:116-198)."""
         rs_h, rs_w = resized
         image = cv2.resize(image, (rs_w, rs_h),
@@ -193,7 +212,7 @@ class PatchClassificationDataset:
 
         if not self.push_prototypes:
             if use_jitter:
-                image = self._color_jitter(image)
+                image = self._color_jitter(image, r)
             image = (image - self.mean) / self.std
 
         return image.astype(np.float32), label.astype(np.int32)

@@ -32,6 +32,16 @@ class DataLoader:
         self.num_hosts = num_hosts
         self.prefetch = prefetch
         self.epoch = 0
+        self._skip = 0
+
+    def fast_forward(self, batches_done: int) -> None:
+        """Position the stream as if ``batches_done`` batches were already
+        drawn: sets the epoch and an in-epoch offset consumed by the next
+        ``__iter__``.  With a ``det_seed`` dataset this makes a resumed
+        run see exactly the batches an uninterrupted run would have."""
+        n = len(self)
+        self.epoch = batches_done // n
+        self._skip = batches_done % n
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.num_hosts
@@ -46,12 +56,18 @@ class DataLoader:
         return idx[self.host_id::self.num_hosts]
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_epoch is not None:
+            set_epoch(self.epoch)  # deterministic-augmentation stream
         indices = self._indices()
         self.epoch += 1
+        skip, self._skip = self._skip, 0
         batches = [indices[i:i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if skip:
+            batches = batches[skip:]
 
         def load_batch(batch_idx):
             items = [self.dataset[i] for i in batch_idx]

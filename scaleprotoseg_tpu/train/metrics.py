@@ -29,6 +29,12 @@ class MetricAccumulator:
     (`module_multiscale.py:34-44`)."""
 
     def __init__(self):
+        self.reset()
+
+    def reset(self):
+        """Clear in place (callers may hold bound references to
+        ``update`` — e.g. through a BulkFetcher — so rebinding a fresh
+        accumulator would silently orphan them)."""
         self.sums = defaultdict(float)
         self.n_batches = 0
         self.n_correct = 0.0

@@ -202,8 +202,27 @@ class PhaseTrainer:
                     state = jax.device_put(restored,
                                            replicate(self.mesh))
                     steps0 = int(state.step)
+                    # best-checkpoint tracking survives the restart: a
+                    # fresh trainer's best_acc=0 would let the first
+                    # post-resume validation overwrite {stage}_best with
+                    # a worse checkpoint
+                    best_path = os.path.join(
+                        self.checkpoints_dir,
+                        f"{self.stage_key(phase)}_best.ckpt.json")
+                    if os.path.exists(best_path):
+                        import json
+                        with open(best_path) as f:
+                            prev = json.load(f).get("extra", {}) \
+                                .get("best_acc", 0.0)
+                        self.best_acc = max(self.best_acc, float(prev))
+                    # continue the data stream instead of restarting it
+                    # (exact with a det_seed dataset; see data/loader.py)
+                    ff = getattr(train_loader, "fast_forward", None)
+                    if ff is not None:
+                        ff(steps0)
                     self.log(f"Resumed phase {phase} at step {steps0} "
-                             f"from {state_dir}")
+                             f"from {state_dir} "
+                             f"(best_acc={self.best_acc:.4f})")
             except Exception as e:  # pragma: no cover
                 self.log(f"Resume skipped ({e})")
 
@@ -248,7 +267,11 @@ class PhaseTrainer:
                     val_summary = self._validate(state, eval_fn, val_loader,
                                                  limit_val_batches)
                     train_summary = acc_train.summary()
-                    acc_train = MetricAccumulator()
+                    # reset IN PLACE: the fetcher holds acc_train.update,
+                    # so rebinding a fresh accumulator would silently
+                    # send every post-first-validation train metric to a
+                    # dead object (they all logged as 0)
+                    acc_train.reset()
                     record = {
                         **{f"train_{k}": v for k, v in
                            train_summary.items()},

@@ -108,3 +108,20 @@ def test_tensorboard_sink_writes_events(tmp_path):
     logger.finish()
     tb_dir = os.path.join(tmp_path, "logs", "tb")
     assert any(f.startswith("events") for f in os.listdir(tb_dir))
+
+
+def test_metric_accumulator_reset_keeps_bound_update_live():
+    """reset() clears in place so a held `update` reference (e.g. inside
+    a BulkFetcher) keeps feeding the SAME accumulator — rebinding a
+    fresh one used to orphan every post-validation train metric."""
+    from scaleprotoseg_tpu.train.metrics import MetricAccumulator
+
+    acc = MetricAccumulator()
+    update = acc.update
+    update({"loss": 2.0, "n_correct": 1, "n_patches": 2})
+    assert acc.summary()["loss"] == 2.0
+    acc.reset()
+    assert acc.summary() == {}
+    update({"loss": 4.0, "n_correct": 1, "n_patches": 2})
+    s = acc.summary()
+    assert s["loss"] == 4.0 and s["accuracy"] == 0.5

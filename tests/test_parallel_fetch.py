@@ -68,3 +68,84 @@ def test_equivariance_shim_import_path():
     from scaleprotoseg_tpu.analysis.equivariance import quantile_map
     m = quantile_map(np.arange(16.0).reshape(4, 4), 0.75)
     assert m.shape == (4, 4, 1) and m.sum() == 4
+
+
+def test_det_seed_dataset_schedule_independent(tmp_path):
+    """det_seed makes item contents a pure function of (seed, epoch,
+    index) — independent of loader thread scheduling and of any other
+    consumer of the process-global `random` stream (the property exact
+    mid-phase resume needs; data/dataset.py)."""
+    import random
+    import sys
+    sys.path.insert(0, "tests")
+    from e2e_utils import build_synthetic_dataset
+
+    from scaleprotoseg_tpu.data.dataset import PatchClassificationDataset
+
+    root = build_synthetic_dataset(str(tmp_path / "d"), n_train=4, n_val=1)
+
+    def make(**kw):
+        return PatchClassificationDataset(
+            split_key="train", is_eval=False, data_type="em",
+            window_size=(24, 24), image_margin_size=0,
+            mean=[0.5] * 3, std=[0.5] * 3, scales=(0.7, 1.3),
+            only_19_from_cityscapes=False, root=root, jitter=True, **kw)
+
+    ds = make(det_seed=7)
+    img_a, lab_a = ds[1]
+    random.random()  # perturb the global stream between fetches
+    img_b, lab_b = ds[1]
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_array_equal(lab_a, lab_b)
+
+    # the epoch advances the stream; a fresh instance at the same epoch
+    # reproduces it
+    ds.set_epoch(1)
+    img_e1, _ = ds[1]
+    assert not np.array_equal(img_a, img_e1)
+    ds2 = make(det_seed=7)
+    ds2.set_epoch(1)
+    np.testing.assert_array_equal(img_e1, ds2[1][0])
+
+    # default (no det_seed) keeps the reference's global-stream behavior
+    ds_global = make()
+    random.seed(3)
+    g1 = ds_global[1][0]
+    random.seed(3)
+    np.testing.assert_array_equal(g1, ds_global[1][0])
+
+
+def test_loader_fast_forward_resumes_stream(tmp_path):
+    """fast_forward(k) makes the next epochs replay exactly what an
+    uninterrupted run would have produced after k batches (mid-epoch
+    offset + epoch seed; data/loader.py)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from e2e_utils import build_synthetic_dataset
+
+    from scaleprotoseg_tpu.data.dataset import PatchClassificationDataset
+    from scaleprotoseg_tpu.data.loader import DataLoader
+
+    root = build_synthetic_dataset(str(tmp_path / "d"), n_train=8, n_val=1)
+
+    def make_loader():
+        ds = PatchClassificationDataset(
+            split_key="train", is_eval=False, data_type="em",
+            window_size=(24, 24), image_margin_size=0,
+            mean=[0.5] * 3, std=[0.5] * 3, scales=(0.7, 1.3),
+            only_19_from_cityscapes=False, root=root, det_seed=11)
+        return DataLoader(ds, batch_size=2, shuffle=True, seed=5,
+                          num_workers=2)
+
+    full = make_loader()
+    straight = []
+    for _ in range(2):  # 2 epochs of 4 batches
+        straight += [img.copy() for img, _ in full]
+
+    resumed = make_loader()
+    resumed.fast_forward(3)  # 3 batches "already done" mid-epoch 0
+    replay = []
+    while len(replay) < 5:
+        replay += [img.copy() for img, _ in resumed]
+    for got, want in zip(replay, straight[3:]):
+        np.testing.assert_array_equal(got, want)

@@ -114,3 +114,89 @@ def test_mid_phase_resume(tmp_path):
     assert not np.allclose(
         np.asarray(res1.state.params["last_layer"]),
         np.asarray(res3.state.params["last_layer"]))
+
+
+class _DetDataset:
+    """Items are a pure function of (epoch, index) — stands in for a
+    det_seed PatchClassificationDataset without touching disk."""
+
+    def __init__(self, n=8):
+        self.n = n
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = int(epoch)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(1000 * (self.epoch + 1) + i)
+        return (rng.standard_normal((33, 33, 3)).astype(np.float32),
+                rng.integers(0, 4, (33, 33)).astype(np.int32))
+
+
+@pytest.mark.slow  # ~55 s on 1 core (three 6-step toy phases)
+def test_exact_resume_trajectory(tmp_path):
+    """Kill/resume lands on the uninterrupted run bit-for-bit: the Orbax
+    state restores params + Adam moments exactly, fast_forward continues
+    the deterministic data stream where it stopped, and best-checkpoint
+    tracking survives the restart (runner.py resume block)."""
+    from scaleprotoseg_tpu.data.loader import DataLoader
+
+    spec = ProtoSpec.equal_allocation(24, 8, 3, 4)
+    model = PPNet(backbone=DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1),
+                                     aspp_mode="concat"),
+                  spec=spec, backbone_channels=32)
+    variables = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 33, 33, 3))))
+    val_loader = _FakeLoader(np.random.default_rng(9), n=2)
+
+    def make_loader():
+        return DataLoader(_DetDataset(), batch_size=2, shuffle=True,
+                          seed=5, num_workers=2)
+
+    def make_trainer(d):
+        return PhaseTrainer(model, spec, "multiscale", str(d), HPARAMS,
+                            logger=MetricsLogger(str(d)),
+                            log=lambda *a: None)
+
+    # the train step donates its state buffers, so each run gets its
+    # own copy of the init
+    fresh = lambda: jax.tree.map(jnp.array, variables)  # noqa: E731
+
+    # uninterrupted: 6 steps (1.5 epochs), validating every 2
+    res_full = make_trainer(tmp_path / "straight").run_phase(
+        fresh(), phase=2, max_steps=6, train_loader=make_loader(),
+        val_loader=val_loader, val_every_steps=2)
+
+    # interrupted at 4 steps, then a FRESH trainer + loader resumes to 6
+    kill_dir = tmp_path / "killed"
+    res_a = make_trainer(kill_dir).run_phase(
+        fresh(), phase=2, max_steps=4, train_loader=make_loader(),
+        val_loader=val_loader, val_every_steps=2)
+    trainer2 = make_trainer(kill_dir)
+    res_b = trainer2.run_phase(
+        fresh(), phase=2, max_steps=6, train_loader=make_loader(),
+        val_loader=val_loader, val_every_steps=2)
+
+    assert res_b.steps_done == 6
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        res_full.state.params, res_b.state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        res_full.state.opt_state, res_b.state.opt_state)
+    # best-acc tracking carried over the restart
+    assert res_b.best_acc >= res_a.best_acc > 0.0
+
+    # regression: train metrics must stay live past the first validation
+    # (the bulk fetcher used to keep feeding a dead accumulator after the
+    # post-validation rebind, logging train_loss=0 forever)
+    import json
+    with open(tmp_path / "straight" / "metrics.jsonl") as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) >= 3
+    assert all(r["train_loss"] > 0 for r in records)
