@@ -44,7 +44,7 @@ def main():
         tgt = jnp.asarray(labels[:batch])
 
         def one(variables, img, tgt):
-            vals, idxs = min_step(variables, img, tgt)
+            vals, row, flat_idx = min_step(variables, img, tgt)
             return vals
 
         rate = time_fn_pipelined(one, variables, img, tgt, iters=8)

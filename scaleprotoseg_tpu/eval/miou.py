@@ -90,7 +90,12 @@ class SegEvaluator:
                 is_cls = (pc[order] == sp[..., None]).astype(jnp.float32)
                 k = jnp.arange(1, d.shape[-1] + 1, dtype=jnp.float32)
                 frac = jnp.cumsum(is_cls, axis=-1) / k
-                purity = frac.mean(axis=1) * 100.0         # (B, P)
+                # reduce over the batch ON DEVICE: the (P,) sum is
+                # replicated under batch sharding (one cross-device
+                # reduction instead of a (B, P) fetch), which also makes
+                # multi-process eval possible — sharded per-image rows
+                # are not host-addressable there
+                purity = jnp.sum(frac.mean(axis=1), axis=0) * 100.0  # (P,)
 
             t = targets.astype(jnp.int32) - 1
             valid = t >= 0
@@ -142,12 +147,11 @@ class SegEvaluator:
             self._purity_rng = np.random.default_rng(0)
 
         def _fold(item):
-            cm, purity = item
+            n_imgs, (cm, purity_sum) = item
             self._cm += np.asarray(cm, np.float64)
-            if purity is not None:
-                self._purity_sum += np.asarray(purity,
-                                               np.float64).sum(axis=0)
-                self._purity_images += purity.shape[0]
+            if purity_sum is not None:
+                self._purity_sum += np.asarray(purity_sum, np.float64)
+                self._purity_images += n_imgs
 
         # Per-batch (C, C) matrices are kept on device and fetched in
         # bulk: a device_get per batch would serialize the eval loop on
@@ -182,11 +186,17 @@ class SegEvaluator:
         else:
             rows = cols = jnp.zeros((b, n), jnp.int32)
         if self.mesh is not None and self.mesh.devices.size > 1:
-            from scaleprotoseg_tpu.parallel import shard_batch
-            images, targets, rows, cols = shard_batch(
+            # multi-process: each process passes its LOCAL rows of the
+            # global batch (per-host loader shard); purity pixels are
+            # then drawn per-host, which is statistically equivalent to
+            # the single-process stream.  All step outputs are replicated
+            # reductions, so every process accumulates the full result.
+            from scaleprotoseg_tpu.parallel import assemble_global_batch
+            images, targets, rows, cols = assemble_global_batch(
                 (images, targets, rows, cols), self.mesh)
-        self._fetcher.add(self._step(variables, images, targets, rows,
-                                     cols))
+            b = int(images.shape[0])
+        self._fetcher.add((b, self._step(variables, images, targets, rows,
+                                         cols)))
 
     def result(self) -> Dict:
         self._flush()

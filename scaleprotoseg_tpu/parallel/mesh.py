@@ -187,6 +187,54 @@ def shard_batch_2d(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
+def assemble_global_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Multi-process ``shard_batch``: each process passes its LOCAL rows
+    of the global batch and gets back global jax.Arrays sharded on the
+    data axis (global batch = local_batch x process_count).
+
+    Row layout: process p's rows occupy the contiguous global block
+    ``[p*local, (p+1)*local)`` — i.e. a per-host loader shard
+    (``DataLoader(host_id=p, num_hosts=n)``) feeding a process-ordered
+    mesh, the layout the two-process rehearsal replays single-process.
+    Single-process meshes fall through to ``shard_batch`` so callers can
+    use this unconditionally."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis_name)
+    sh = batch_sharding(mesh, axis_name)
+    nproc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        if not x.ndim:
+            raise ValueError("cannot assemble a scalar; replicate it")
+        return jax.make_array_from_process_local_data(
+            sh, x, (x.shape[0] * nproc,) + x.shape[1:])
+
+    return jax.tree.map(put, batch)
+
+
+def split_global_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Multi-process ``shard_batch`` for IDENTICAL global batches: every
+    process holds the same full batch (e.g. push's fixed-order full-split
+    loader read from a shared filesystem) and contributes its own
+    contiguous block of rows.  Single-process: ``shard_batch``."""
+    nproc = jax.process_count()
+    if nproc == 1:
+        return shard_batch(batch, mesh, axis_name)
+    pid = jax.process_index()
+
+    def cut(x):
+        x = np.asarray(x)
+        if x.shape[0] % nproc:
+            raise ValueError(
+                f"global batch {x.shape[0]} does not divide "
+                f"{nproc} processes")
+        k = x.shape[0] // nproc
+        return x[pid * k:(pid + 1) * k]
+
+    return assemble_global_batch(jax.tree.map(cut, batch), mesh, axis_name)
+
+
 _REPLICATION_WARNED = set()
 
 

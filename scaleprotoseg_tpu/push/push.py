@@ -65,8 +65,17 @@ def _make_min_step(model, spec: ProtoSpec):
         masked = jnp.where(mask, distances, distances + MAX_DIST)
         flat = masked.reshape(masked.shape[0], -1, masked.shape[-1])
         flat = jnp.swapaxes(flat, 1, 2)            # (B, Pa, h*w)
-        return pad_minima_to_bank(jnp.min(flat, axis=-1),
-                                  jnp.argmin(flat, axis=-1), spec)
+        vals, idxs = pad_minima_to_bank(jnp.min(flat, axis=-1),
+                                        jnp.argmin(flat, axis=-1), spec)
+        # reduce over the batch ON DEVICE: the outputs are (P,) and —
+        # crucially — replicated under batch sharding, so the scan fetches
+        # 2 small rows per batch instead of (B, P) matrices AND works in
+        # multi-process (multi-host) execution, where per-batch sharded
+        # arrays are not host-addressable.  argmin keeps the first row
+        # among ties, matching the host fold's strict-< semantics.
+        row = jnp.argmin(vals, axis=0).astype(jnp.int32)         # (P,)
+        cols = jnp.arange(vals.shape[1])
+        return jnp.min(vals, axis=0), row, idxs[row, cols]
 
     return min_step
 
@@ -122,11 +131,17 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
     gather_step = _make_gather_step(model, spec)
 
     def place(images, targets):
-        images, targets = jnp.asarray(images), jnp.asarray(targets)
         if mesh is not None and mesh.devices.size > 1:
-            from scaleprotoseg_tpu.parallel import shard_batch
-            return shard_batch((images, targets), mesh)
-        return images, targets
+            # multi-process: every process iterates the SAME fixed-order
+            # full-split loader (shared filesystem) and contributes its
+            # block of each batch; the min-scan outputs are replicated,
+            # so the host fold and both later passes see identical global
+            # state on every process (split_global_batch == shard_batch
+            # when single-process).
+            from scaleprotoseg_tpu.parallel import split_global_batch
+            return split_global_batch((np.asarray(images),
+                                       np.asarray(targets)), mesh)
+        return jnp.asarray(images), jnp.asarray(targets)
 
     best_dist = np.full((P,), np.inf, np.float64)
     best_img = np.full((P,), -1, np.int64)
@@ -140,12 +155,12 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
     # loop on the host round-trip)
     def fold(item):
         nonlocal best_dist, best_img, best_flat
-        off, bsz, (vals, idxs) = item
-        for b in range(bsz):
-            improved = vals[b] < best_dist
-            best_dist = np.where(improved, vals[b], best_dist)
-            best_img = np.where(improved, off + b, best_img)
-            best_flat = np.where(improved, idxs[b], best_flat)
+        off, (vals, row, flat_idx) = item
+        vals = np.asarray(vals, np.float64)
+        improved = vals < best_dist         # strict <: first image wins ties
+        best_dist = np.where(improved, vals, best_dist)
+        best_img = np.where(improved, off + np.asarray(row), best_img)
+        best_flat = np.where(improved, np.asarray(flat_idx), best_flat)
 
     import hashlib
 
@@ -159,7 +174,7 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
     batch_prints = []
     for images, targets in push_loader:
         batch_prints.append(fingerprint(images))
-        fetcher.add((img_offset, images.shape[0],
+        fetcher.add((img_offset,
                      min_step(variables, *place(images, targets))))
         img_offset += images.shape[0]
         n_batches += 1

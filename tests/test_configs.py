@@ -181,9 +181,10 @@ def test_config_joint_train_step_traces(name):
         variables = {"params": params_and_stats["params"]}
         if params_and_stats.get("batch_stats"):
             variables["batch_stats"] = params_and_stats["batch_stats"]
-        vals, idxs = _make_min_step(model, spec)(variables, img, tgt)
+        vals, row, flat_idx = _make_min_step(model, spec)(variables, img,
+                                                          tgt)
         return metrics["loss"], vals
 
     loss_s, vals_s = jax.eval_shape(run_eval_and_push, shapes)
     assert loss_s.shape == ()
-    assert vals_s.shape == (batch, spec.num_prototypes)
+    assert vals_s.shape == (spec.num_prototypes,)

@@ -179,8 +179,8 @@ def test_push_min_step_never_picks_danglers(rng):
     x = jnp.asarray(rng.standard_normal((1, 65, 65, 3)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     target = jnp.asarray(rng.integers(0, 3, (1, 65, 65)), jnp.int32)
-    vals, idxs = _make_min_step(model, spec)(variables, x, target)
+    vals, row, flat_idx = _make_min_step(model, spec)(variables, x, target)
     vals = np.asarray(vals)
-    assert vals.shape == (1, 10)
-    assert np.isinf(vals[:, 8:]).all()
-    assert np.isfinite(vals[:, :8]).all()
+    assert vals.shape == (10,)
+    assert np.isinf(vals[8:]).all()
+    assert np.isfinite(vals[:8]).all()

@@ -1,7 +1,9 @@
-"""Two-process (multi-host analog) DP rehearsal — see
+"""Two-process (multi-host analog) rehearsal — see
 tools/two_process_rehearsal.py.  Two real OS processes rendezvous via
 jax.distributed.initialize (CPU backend, gloo), feed disjoint host
-shards, and must reproduce the single-process loss trajectory."""
+shards, and must reproduce the single-process run across every stage:
+train loss trajectory, eval confusion matrix (bit-equal), and push
+winners (orchestrate() asserts all three)."""
 
 import numpy as np
 import pytest

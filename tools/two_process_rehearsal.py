@@ -7,13 +7,23 @@ but everything else ever executed is a single-process virtual mesh.
 This script actually runs it: two OS processes rendezvous through the
 JAX coordination service (CPU backend, gloo collectives), each feeds its
 host shard of a deterministic synthetic dataset into a 2-device global
-mesh, runs N data-parallel train steps of the tiny flagship-shaped PPNet
-via the production ``make_train_step``, and process 0 records the loss
-trajectory.  The parent then replays the SAME global batches on a
-single-process 2-virtual-device mesh and asserts the trajectories match
-— per-host data disjointness feeding real cross-process collectives,
-coordinator wiring, and ``make_array_from_process_local_data`` assembly
-are all on the line.
+mesh, and runs every stage of the framework's device-side lifecycle:
+
+  train — N data-parallel steps of the tiny flagship-shaped PPNet via
+    the production ``make_train_step`` (loss trajectory recorded);
+  eval  — the production ``SegEvaluator`` with per-host local batches
+    (``parallel.assemble_global_batch``); the confusion matrix is a
+    replicated int32 cross-process reduction;
+  push  — the production ``push_prototypes`` min-scan with the
+    fixed-order full-split loader on every process
+    (``parallel.split_global_batch``).
+
+The parent replays the SAME global batches on a single-process
+2-virtual-device mesh and asserts: loss trajectories match, the
+confusion matrix is bit-equal, and every prototype projects onto the
+same winner — per-host data disjointness feeding real cross-process
+collectives, coordinator wiring, and process-local array assembly are
+all on the line.
 
 Usage:
   python tools/two_process_rehearsal.py            # orchestrate + assert
@@ -84,7 +94,59 @@ def _build_step():
     step = make_train_step(model, spec, tx, set(groups),
                            LossWeights(crs_ent=1.0, kld=0.25, l1=1e-4),
                            donate=False)
-    return state, step
+    return model, spec, state, step
+
+
+def _variables(state):
+    v = {"params": state.params}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+
+def _run_eval(model, variables, batches, mesh):
+    """Mesh-sharded eval; multi-process passes per-host local rows
+    (assemble_global_batch inside SegEvaluator.update), single-process
+    the assembled global batches — outputs are replicated reductions."""
+    from scaleprotoseg_tpu.eval.miou import SegEvaluator
+
+    ev = SegEvaluator(model, num_classes=3, mesh=mesh)
+    for img, tgt in batches:
+        ev.update(variables, img, tgt)
+    res = ev.result()
+    import numpy as np
+    return np.asarray(ev.cm).astype(int).tolist(), res["mean_iou"]
+
+
+class _PushLoader:
+    """Fixed-order full-split loader — IDENTICAL on every process (the
+    shared-filesystem contract push's multi-process path documents)."""
+
+    shuffle = False
+
+    def __init__(self, images, targets, batch):
+        self.images, self.targets, self.batch = images, targets, batch
+
+    def __iter__(self):
+        for i in range(0, len(self.images), self.batch):
+            yield (self.images[i:i + self.batch],
+                   self.targets[i:i + self.batch])
+
+    def __len__(self):
+        return -(-len(self.images) // self.batch)
+
+
+def _run_push_scan(model, spec, variables, images, targets, mesh):
+    """The production push over the mesh (min-scan sharded via
+    split_global_batch in multi-process)."""
+    from scaleprotoseg_tpu.push.push import push_prototypes
+
+    res = push_prototypes(
+        model, variables, spec,
+        _PushLoader(images, targets, PER_HOST_BATCH * NUM_HOSTS),
+        dedup=False, mesh=mesh, log=lambda *a: None)
+    return ([int(w) for w in res.winners],
+            [float(d) for d in res.min_dists])
 
 
 def _global_batches(images, targets):
@@ -118,7 +180,12 @@ def run_worker(pid: int, port: int, out_path: str):
     mesh = create_mesh()
     batch_sh = NamedSharding(mesh, P("data"))
 
-    state, step = _build_step()
+    model, spec, state, step = _build_step()
+    # eval/push legs run on the INITIAL variables: bit-identical across
+    # process layouts (the trained params only match to ~1e-5 across
+    # collective implementations, which could flip argmax ties and make
+    # the exact cm/winner asserts flaky)
+    init_vars = _variables(state)
 
     images, targets = _dataset()
     # per-host shard: exactly the loader's idx[host_id::num_hosts] stream
@@ -137,9 +204,25 @@ def run_worker(pid: int, port: int, out_path: str):
         state, metrics = step(state, g_img, g_tgt)
         losses.append(float(metrics["loss"]))  # loss is replicated
 
+    # ---- eval leg: SegEvaluator over the mesh, per-host loader shards
+    # feed assemble_global_batch inside update(); the confusion matrix is
+    # a replicated cross-process reduction, exact in int32.
+    local_batches = [
+        (images[my_idx[k * PER_HOST_BATCH:(k + 1) * PER_HOST_BATCH]],
+         targets[my_idx[k * PER_HOST_BATCH:(k + 1) * PER_HOST_BATCH]])
+        for k in range(N_STEPS)]
+    cm, miou = _run_eval(model, init_vars, local_batches, mesh)
+
+    # ---- push leg: the min-scan over the mesh with the production
+    # push_prototypes (fixed-order FULL-split loader on every process,
+    # split_global_batch contributes this process's rows).
+    winners, dists = _run_push_scan(model, spec, init_vars,
+                                    images, targets, mesh)
+
     if pid == 0:
         with open(out_path, "w") as f:
-            json.dump({"losses": losses}, f)
+            json.dump({"losses": losses, "cm": cm, "miou": miou,
+                       "push_winners": winners, "push_dists": dists}, f)
     jax.distributed.shutdown()
 
 
@@ -158,7 +241,8 @@ def run_single_process():
     from scaleprotoseg_tpu.parallel import create_mesh, shard_batch
 
     mesh = create_mesh(n_devices=2)
-    state, step = _build_step()
+    model, spec, state, step = _build_step()
+    init_vars = _variables(state)
     images, targets = _dataset()
     losses = []
     for img, tgt in _global_batches(images, targets):
@@ -166,7 +250,12 @@ def run_single_process():
                                    mesh)
         state, metrics = step(state, s_img, s_tgt)
         losses.append(float(metrics["loss"]))
-    return losses
+    cm, miou = _run_eval(model, init_vars,
+                         _global_batches(images, targets), mesh)
+    winners, dists = _run_push_scan(model, spec, init_vars, images,
+                                    targets, mesh)
+    return {"losses": losses, "cm": cm, "miou": miou,
+            "push_winners": winners, "push_dists": dists}
 
 
 def orchestrate(tol: float = 1e-5) -> dict:
@@ -185,12 +274,25 @@ def orchestrate(tol: float = 1e-5) -> dict:
     rcs = [p.wait(timeout=1200) for p in procs]
     assert all(rc == 0 for rc in rcs), f"worker exit codes: {rcs}"
     with open(out) as f:
-        mp_losses = json.load(f)["losses"]
+        mp = json.load(f)
 
-    sp_losses = run_single_process()
+    sp = run_single_process()
     import numpy as np
-    np.testing.assert_allclose(mp_losses, sp_losses, rtol=tol, atol=tol)
-    return {"two_process": mp_losses, "single_process": sp_losses}
+
+    # train: DP loss trajectory matches across collective implementations
+    np.testing.assert_allclose(mp["losses"], sp["losses"],
+                               rtol=tol, atol=tol)
+    # eval: the confusion matrix is an exact int32 reduction — equal
+    # bit-for-bit (both legs run on the bit-identical initial params)
+    np.testing.assert_array_equal(mp["cm"], sp["cm"])
+    assert mp["miou"] == sp["miou"]
+    # push: every prototype projects onto the same winning image
+    np.testing.assert_array_equal(mp["push_winners"], sp["push_winners"])
+    np.testing.assert_allclose(mp["push_dists"], sp["push_dists"],
+                               rtol=tol, atol=tol)
+    return {"two_process": mp["losses"], "single_process": sp["losses"],
+            "miou": sp["miou"],
+            "push_matched": int(sum(w >= 0 for w in sp["push_winners"]))}
 
 
 if __name__ == "__main__":
@@ -200,4 +302,4 @@ if __name__ == "__main__":
     else:
         result = orchestrate()
         print(json.dumps(result))
-        print("two-process DP trajectory == single-process: OK")
+        print("two-process train/eval/push == single-process: OK")
