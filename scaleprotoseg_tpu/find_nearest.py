@@ -34,7 +34,7 @@ from scaleprotoseg_tpu.spec import ProtoSpec
 VOID_PENALTY = 10e6
 
 
-def _make_void_min_step(model, spec: ProtoSpec):
+def _make_void_min_step(model, spec: ProtoSpec, k: int):
     # Per-image minima are padded from the distance layout back to bank
     # width with +inf: dangling floor-division-leftover bank rows never
     # collect nearest patches (they are absent from forward).
@@ -49,7 +49,16 @@ def _make_void_min_step(model, spec: ProtoSpec):
             masked.reshape(masked.shape[0], -1, masked.shape[-1]), 1, 2)
         vals, idxs = pad_minima_to_bank(jnp.min(flat, -1),
                                         jnp.argmin(flat, -1), spec)
-        return vals, idxs, jnp.asarray(distances.shape[1:3])
+        # per-batch top-k ON DEVICE (one candidate per image, like the
+        # reference's heap push): outputs are (P, min(k, B)) and
+        # replicated under batch sharding, so the scan works in
+        # multi-process execution and the host merge touches k rows per
+        # batch instead of every image
+        kk = min(k, vals.shape[0])
+        neg, rows = jax.lax.top_k(-vals.T, kk)              # (P, kk)
+        flat_k = jnp.take_along_axis(idxs.T, rows, axis=1)
+        return (-neg, rows.astype(jnp.int32), flat_k,
+                jnp.asarray(distances.shape[1:3]))
 
     return step
 
@@ -80,15 +89,18 @@ def find_k_nearest_patches_to_prototypes(
     full-split scan runs data-parallel (same pattern as push).
     """
     P = spec.num_prototypes
-    step = _make_void_min_step(model, spec)
+    step = _make_void_min_step(model, spec, k)
     proto_class = np.argmax(spec.class_identity, axis=1)
 
     def place(images, targets):
-        images, targets = jnp.asarray(images), jnp.asarray(targets)
         if mesh is not None and mesh.devices.size > 1:
-            from scaleprotoseg_tpu.parallel import shard_batch
-            return shard_batch((images, targets), mesh)
-        return images, targets
+            # multi-process: identical full-order loader on every
+            # process, each contributes its block (same contract as
+            # push_prototypes; == shard_batch single-process)
+            from scaleprotoseg_tpu.parallel import split_global_batch
+            return split_global_batch((np.asarray(images),
+                                       np.asarray(targets)), mesh)
+        return jnp.asarray(images), jnp.asarray(targets)
 
     # running top-k per prototype (dist, img, flat)
     top_d = np.full((P, k), np.inf)
@@ -102,18 +114,17 @@ def find_k_nearest_patches_to_prototypes(
     # host top-k maintenance (same pattern as the train/eval loops)
     def fold(item):
         nonlocal top_d, top_img, top_flat, grid_shape
-        off, (vals, idxs, gshape) = item
+        off, (vals, rows, flats, gshape) = item
         grid_shape = tuple(int(v) for v in gshape)
-        for b in range(vals.shape[0]):
-            cand_d = np.concatenate([top_d, vals[b][:, None]], axis=1)
-            cand_img = np.concatenate(
-                [top_img, np.full((P, 1), off + b)], axis=1)
-            cand_flat = np.concatenate([top_flat, idxs[b][:, None]],
-                                       axis=1)
-            order = np.argsort(cand_d, axis=1)[:, :k]
-            top_d = np.take_along_axis(cand_d, order, 1)
-            top_img = np.take_along_axis(cand_img, order, 1)
-            top_flat = np.take_along_axis(cand_flat, order, 1)
+        cand_d = np.concatenate([top_d, np.asarray(vals)], axis=1)
+        cand_img = np.concatenate(
+            [top_img, off + np.asarray(rows, np.int64)], axis=1)
+        cand_flat = np.concatenate([top_flat, np.asarray(flats, np.int64)],
+                                   axis=1)
+        order = np.argsort(cand_d, axis=1)[:, :k]
+        top_d = np.take_along_axis(cand_d, order, 1)
+        top_img = np.take_along_axis(cand_img, order, 1)
+        top_flat = np.take_along_axis(cand_flat, order, 1)
 
     from scaleprotoseg_tpu.parallel import BulkFetcher
     fetcher = BulkFetcher(fold, limit=16)

@@ -149,6 +149,18 @@ def _run_push_scan(model, spec, variables, images, targets, mesh):
             [float(d) for d in res.min_dists])
 
 
+def _run_find_nearest(model, spec, variables, images, targets, mesh):
+    """The production pruning scan (device-side per-batch top-k) over the
+    mesh — the run_pruning stage's hot loop."""
+    from scaleprotoseg_tpu.find_nearest import \
+        find_k_nearest_patches_to_prototypes
+
+    labels = find_k_nearest_patches_to_prototypes(
+        _PushLoader(images, targets, PER_HOST_BATCH * NUM_HOSTS),
+        model, variables, spec, k=3, mesh=mesh, log=lambda *a: None)
+    return [[int(v) for v in row] for row in labels]
+
+
 def _global_batches(images, targets):
     """Global batch layout as assembled from per-host shards: device d of
     the 2-device mesh holds host d's rows (loader stride
@@ -219,10 +231,15 @@ def run_worker(pid: int, port: int, out_path: str):
     winners, dists = _run_push_scan(model, spec, init_vars,
                                     images, targets, mesh)
 
+    # ---- pruning leg: find_nearest's device-side per-batch top-k scan.
+    nearest = _run_find_nearest(model, spec, init_vars, images, targets,
+                                mesh)
+
     if pid == 0:
         with open(out_path, "w") as f:
             json.dump({"losses": losses, "cm": cm, "miou": miou,
-                       "push_winners": winners, "push_dists": dists}, f)
+                       "push_winners": winners, "push_dists": dists,
+                       "nearest_labels": nearest}, f)
     jax.distributed.shutdown()
 
 
@@ -254,8 +271,11 @@ def run_single_process():
                          _global_batches(images, targets), mesh)
     winners, dists = _run_push_scan(model, spec, init_vars, images,
                                     targets, mesh)
+    nearest = _run_find_nearest(model, spec, init_vars, images, targets,
+                                mesh)
     return {"losses": losses, "cm": cm, "miou": miou,
-            "push_winners": winners, "push_dists": dists}
+            "push_winners": winners, "push_dists": dists,
+            "nearest_labels": nearest}
 
 
 def orchestrate(tol: float = 1e-5) -> dict:
@@ -290,6 +310,9 @@ def orchestrate(tol: float = 1e-5) -> dict:
     np.testing.assert_array_equal(mp["push_winners"], sp["push_winners"])
     np.testing.assert_allclose(mp["push_dists"], sp["push_dists"],
                                rtol=tol, atol=tol)
+    # pruning: find_nearest's k-nearest patch labels are identical
+    np.testing.assert_array_equal(mp["nearest_labels"],
+                                  sp["nearest_labels"])
     return {"two_process": mp["losses"], "single_process": sp["losses"],
             "miou": sp["miou"],
             "push_matched": int(sum(w >= 0 for w in sp["push_winners"]))}
@@ -302,4 +325,4 @@ if __name__ == "__main__":
     else:
         result = orchestrate()
         print(json.dumps(result))
-        print("two-process train/eval/push == single-process: OK")
+        print("two-process train/eval/push/prune == single-process: OK")
