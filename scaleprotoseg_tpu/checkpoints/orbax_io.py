@@ -40,7 +40,13 @@ def _checkpointer():
 def save_train_state(path: str, state, block: bool = False) -> None:
     """Stage + asynchronously commit the full train state to ``path``.
 
-    ``block=True`` waits for the directory commit (tests, final save)."""
+    ``block=True`` waits for the directory commit (tests, final save).
+    Multi-process: this is a COLLECTIVE — every process must call it
+    (Orbax synchronizes processes internally; gating it on process 0
+    deadlocks the job at the first save barrier).  Orbax elects the
+    metadata writer itself; a benign "removing existing [unfinalized]
+    directory" warning can appear when force-overwriting a directory a
+    previous save staged."""
     checkpointer = _checkpointer()
     path = os.path.abspath(path)
     payload = {"step": state.step, "params": state.params,

@@ -160,20 +160,35 @@ def data_parallel_batch(batch_size: int, mesh, log=print) -> int:
 
 def make_loaders(batch_size: int, num_workers: Optional[int] = None,
                  seed: int = 0, data_root: Optional[str] = None):
-    """(train_loader, val_loader) per the gin dataset bindings."""
+    """(train_loader, val_loader) per the gin dataset bindings.
+
+    ``batch_size`` is the GLOBAL batch (``data_parallel_batch``).  Under
+    multi-process (multi-host) execution each process gets a loader over
+    its disjoint ``host_id`` index shard yielding its
+    ``batch_size / process_count`` local rows — the layout
+    ``parallel.assemble_global_batch`` assembles into the global sharded
+    batch inside the runner."""
     if num_workers is None:
         num_workers = configlib.query("PatchClassificationDataModule",
                                       "dataloader_n_jobs", 8)
     train_key = configlib.query("PatchClassificationDataModule",
                                 "train_key", "train")
+    import jax
+    nproc, pid = jax.process_count(), jax.process_index()
+    if batch_size % nproc:
+        raise ValueError(f"global batch {batch_size} does not divide "
+                         f"{nproc} processes")
+    local_bs = batch_size // nproc
     train_ds = PatchClassificationDataset(split_key=train_key,
                                           is_eval=False, root=data_root)
     val_ds = PatchClassificationDataset(split_key="val", is_eval=True,
                                         root=data_root)
-    return (DataLoader(train_ds, batch_size, shuffle=True,
-                       num_workers=num_workers, seed=seed),
-            DataLoader(val_ds, batch_size, shuffle=False,
-                       num_workers=num_workers, seed=seed))
+    return (DataLoader(train_ds, local_bs, shuffle=True,
+                       num_workers=num_workers, seed=seed,
+                       host_id=pid, num_hosts=nproc),
+            DataLoader(val_ds, local_bs, shuffle=False,
+                       num_workers=num_workers, seed=seed,
+                       host_id=pid, num_hosts=nproc))
 
 
 class PushLoader:

@@ -107,6 +107,15 @@ def run_evaluation(model_name: str, training_phase: str,
         shape_multiple = 64
     if shape_multiple == 0:
         shape_multiple = None
+    import jax
+    if jax.process_count() > 1:
+        # the per-image artifact loops (histograms, samples, PNG export)
+        # are single-process by design; each process would also feed the
+        # FULL split into the evaluator, double-counting the confusion
+        # matrix.  Multi-chip eval shards over the in-process mesh.
+        raise RuntimeError(
+            "eval_valid_multiscale is a single-process tool (it fans out "
+            "over the in-process device mesh); run it on one host")
     model_path = os.path.join(results_root or settings.results_dir(),
                               model_name)
     checkpoint = resolve_checkpoint(model_path, training_phase)

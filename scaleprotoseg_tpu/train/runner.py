@@ -26,8 +26,9 @@ import numpy as np
 from scaleprotoseg_tpu import configlib
 from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
 from scaleprotoseg_tpu.ops.prototype import pairwise_l2
-from scaleprotoseg_tpu.parallel import (BulkFetcher, create_mesh,
-                                         shard_batch)
+from scaleprotoseg_tpu.parallel import (BulkFetcher,
+                                         assemble_global_batch,
+                                         create_mesh)
 from scaleprotoseg_tpu.train.metrics import (MetricAccumulator,
                                              MetricsLogger)
 from scaleprotoseg_tpu.train.optim import (label_params,
@@ -142,6 +143,13 @@ class PhaseTrainer:
         self.mesh = mesh if mesh is not None else create_mesh()
         self.log = log
         self.best_acc = 0.0
+        # multi-process (multi-host): every process runs the identical
+        # loop on replicated state — msgpack checkpoint/metric FILES are
+        # written by process 0 only (shared filesystem assumed, as for
+        # data); the async Orbax state save stays on ALL processes (it
+        # is a collective and deadlocks if gated to one process).
+        # Loaders come host-sharded from cli_common.
+        self.is_main = jax.process_index() == 0
 
     # ------------------------------------------------------------------
     def stage_key(self, phase: int) -> str:
@@ -256,8 +264,8 @@ class PhaseTrainer:
             for image, target in train_loader:
                 if steps >= max_steps:
                     break
-                batch = shard_batch((jnp.asarray(image),
-                                     jnp.asarray(target)), self.mesh)
+                batch = assemble_global_batch(
+                    (np.asarray(image), np.asarray(target)), self.mesh)
                 state, metrics = step_fn(state, *batch)
                 fetcher.add(metrics)
                 steps += 1
@@ -280,7 +288,8 @@ class PhaseTrainer:
                         "avg_dist_proto":
                             self._avg_dist_proto(state.params),
                     }
-                    self.logger.log(record, step=global_step0 + steps)
+                    if self.is_main:
+                        self.logger.log(record, step=global_step0 + steps)
                     val_acc = val_summary.get("accuracy", 0.0)
                     self.log(f"step {steps}/{max_steps} "
                              f"train_loss={train_summary.get('loss', 0):.4f}"
@@ -330,13 +339,15 @@ class PhaseTrainer:
         for i, (image, target) in enumerate(val_loader):
             if limit_val_batches is not None and i >= limit_val_batches:
                 break
-            batch = shard_batch((jnp.asarray(image), jnp.asarray(target)),
-                                self.mesh)
+            batch = assemble_global_batch(
+                (np.asarray(image), np.asarray(target)), self.mesh)
             fetcher.add(eval_fn(state, *batch))
         fetcher.drain()
         return acc.summary()
 
     def _save(self, state: TrainState, name: str):
+        if not self.is_main:  # params are replicated; one writer
+            return
         save_checkpoint(
             os.path.join(self.checkpoints_dir, f"{name}.ckpt"),
             state.params, state.batch_stats, spec=self.spec,

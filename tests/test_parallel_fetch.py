@@ -1,6 +1,7 @@
 """BulkFetcher unit tests + multi-host loader index-sharding invariants."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -149,3 +150,34 @@ def test_loader_fast_forward_resumes_stream(tmp_path):
         replay += [img.copy() for img, _ in resumed]
     for got, want in zip(replay, straight[3:]):
         np.testing.assert_array_equal(got, want)
+
+
+def test_make_loaders_multiprocess_wiring(tmp_path, monkeypatch):
+    """Under multi-process execution the CLI loaders are host-sharded and
+    yield global_batch / process_count local rows (cli_common.make_loaders
+    -> parallel.assemble_global_batch layout); an indivisible global
+    batch fails fast."""
+    import sys
+    sys.path.insert(0, "tests")
+    import jax
+    from e2e_utils import TINY_EM_CONFIG, build_synthetic_dataset
+
+    from scaleprotoseg_tpu import configlib
+    from scaleprotoseg_tpu.cli_common import make_loaders
+
+    root = build_synthetic_dataset(str(tmp_path / "d"), n_train=8, n_val=4)
+    configlib.clear_config()
+    configlib.parse_config(TINY_EM_CONFIG)
+    try:
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        train, val = make_loaders(4, num_workers=1, data_root=root)
+        assert train.batch_size == val.batch_size == 2
+        assert train.host_id == val.host_id == 1
+        assert train.num_hosts == val.num_hosts == 2
+        assert len(train) == 2  # 8 images / 2 hosts / batch 2
+
+        with pytest.raises(ValueError, match="does not divide"):
+            make_loaders(5, num_workers=1, data_root=root)
+    finally:
+        configlib.clear_config()

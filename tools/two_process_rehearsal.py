@@ -149,6 +149,54 @@ def _run_push_scan(model, spec, variables, images, targets, mesh):
             [float(d) for d in res.min_dists])
 
 
+def _run_phase_trainer(model, spec, variables, data_root, out_dir, mesh):
+    """The production PhaseTrainer end-to-end: host-sharded det_seed
+    loaders (the cli_common.make_loaders layout) feed
+    assemble_global_batch inside run_phase; checkpoints/metrics are
+    written by process 0 only; the async Orbax state save runs as a
+    collective on every process.  Single-process batches hold the same
+    image SETS in a different row order, so trajectories match to fp
+    tolerance (the losses are means over the batch)."""
+    import jax
+
+    from scaleprotoseg_tpu.data.dataset import PatchClassificationDataset
+    from scaleprotoseg_tpu.data.loader import DataLoader
+    from scaleprotoseg_tpu.train.metrics import MetricsLogger
+    from scaleprotoseg_tpu.train.runner import PhaseTrainer
+    from scaleprotoseg_tpu.train.steps import LossWeights
+
+    nproc, pid = jax.process_count(), jax.process_index()
+
+    def loader(split, is_eval):
+        ds = PatchClassificationDataset(
+            split_key=split, is_eval=is_eval, data_type="em",
+            window_size=(32, 32), image_margin_size=0,
+            mean=[0.5] * 3, std=[0.5] * 3, scales=(0.9, 1.1),
+            only_19_from_cityscapes=False, root=data_root, det_seed=7)
+        return DataLoader(ds, 4 // nproc, shuffle=not is_eval, seed=3,
+                          num_workers=2, host_id=pid, num_hosts=nproc)
+
+    hparams = dict(
+        weights=LossWeights(), hp=dict(
+            warm_lr_add_on=1e-3, warm_lr_protos=1e-3, warm_wd=0.0,
+            joint_lr_features=1e-4, joint_lr_add_on=1e-3,
+            joint_lr_protos=1e-3, joint_wd=0.0, last_layer_lr=1e-3,
+            warm_lr_group=1e-3, joint_lr_group=1e-3),
+        poly_lr_power=0.9, iter_size=1, ignore_void_class=True,
+        freeze_type="all", joint_no_proto=False, joint_last=True)
+    trainer = PhaseTrainer(model, spec, "multiscale", out_dir, hparams,
+                           logger=MetricsLogger(out_dir),
+                           mesh=mesh, log=lambda *a: None)
+    res = trainer.run_phase(variables, phase=2, max_steps=4,
+                            train_loader=loader("train", False),
+                            val_loader=loader("val", True),
+                            val_every_steps=2)
+    import numpy as np
+    return ([float(v) for v in
+             np.asarray(res.state.params["last_layer"]).ravel()],
+            float(res.best_acc))
+
+
 def _run_find_nearest(model, spec, variables, images, targets, mesh):
     """The production pruning scan (device-side per-batch top-k) over the
     mesh — the run_pruning stage's hot loop."""
@@ -173,7 +221,8 @@ def _global_batches(images, targets):
         yield images[rows], targets[rows]
 
 
-def run_worker(pid: int, port: int, out_path: str):
+def run_worker(pid: int, port: int, out_path: str, data_root: str,
+               run_dir: str):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -235,15 +284,23 @@ def run_worker(pid: int, port: int, out_path: str):
     nearest = _run_find_nearest(model, spec, init_vars, images, targets,
                                 mesh)
 
+    # ---- runner leg (LAST: run_phase donates its state buffers): the
+    # production PhaseTrainer over real host-sharded disk loaders.
+    import jax.numpy as jnp
+    ll, best = _run_phase_trainer(
+        model, spec, jax.tree.map(jnp.array, init_vars), data_root,
+        run_dir, mesh)
+
     if pid == 0:
         with open(out_path, "w") as f:
             json.dump({"losses": losses, "cm": cm, "miou": miou,
                        "push_winners": winners, "push_dists": dists,
-                       "nearest_labels": nearest}, f)
+                       "nearest_labels": nearest,
+                       "runner_last_layer": ll, "runner_best": best}, f)
     jax.distributed.shutdown()
 
 
-def run_single_process():
+def run_single_process(data_root: str, run_dir: str):
     """The same trajectory on one process (2 virtual devices)."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
@@ -273,9 +330,13 @@ def run_single_process():
                                     targets, mesh)
     nearest = _run_find_nearest(model, spec, init_vars, images, targets,
                                 mesh)
+    ll, best = _run_phase_trainer(
+        model, spec, jax.tree.map(jnp.array, init_vars), data_root,
+        run_dir, mesh)
     return {"losses": losses, "cm": cm, "miou": miou,
             "push_winners": winners, "push_dists": dists,
-            "nearest_labels": nearest}
+            "nearest_labels": nearest,
+            "runner_last_layer": ll, "runner_best": best}
 
 
 def orchestrate(tol: float = 1e-5) -> dict:
@@ -284,19 +345,25 @@ def orchestrate(tol: float = 1e-5) -> dict:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    out = os.path.join(tempfile.mkdtemp(), "mp_losses.json")
+    tmp = tempfile.mkdtemp()
+    out = os.path.join(tmp, "mp_losses.json")
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from e2e_utils import build_synthetic_dataset
+    data_root = build_synthetic_dataset(os.path.join(tmp, "data"),
+                                        n_train=8, n_val=4, size=32)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     env.pop("XLA_FLAGS", None)  # workers use 1 real cpu device each
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "worker", str(pid),
-         str(port), out], env=env, cwd=REPO)
+         str(port), out, data_root, os.path.join(tmp, "mp_run")],
+        env=env, cwd=REPO)
         for pid in range(NUM_HOSTS)]
     rcs = [p.wait(timeout=1200) for p in procs]
     assert all(rc == 0 for rc in rcs), f"worker exit codes: {rcs}"
     with open(out) as f:
         mp = json.load(f)
 
-    sp = run_single_process()
+    sp = run_single_process(data_root, os.path.join(tmp, "sp_run"))
     import numpy as np
 
     # train: DP loss trajectory matches across collective implementations
@@ -313,6 +380,14 @@ def orchestrate(tol: float = 1e-5) -> dict:
     # pruning: find_nearest's k-nearest patch labels are identical
     np.testing.assert_array_equal(mp["nearest_labels"],
                                   sp["nearest_labels"])
+    # runner: the production PhaseTrainer over real host-sharded disk
+    # loaders lands on the same params (batch rows are permuted between
+    # the layouts, so fp tolerance rather than bit equality) and the
+    # same best val accuracy (an exact pixel count)
+    np.testing.assert_allclose(mp["runner_last_layer"],
+                               sp["runner_last_layer"],
+                               rtol=1e-4, atol=1e-5)
+    assert mp["runner_best"] == sp["runner_best"]
     return {"two_process": mp["losses"], "single_process": sp["losses"],
             "miou": sp["miou"],
             "push_matched": int(sum(w >= 0 for w in sp["push_winners"]))}
@@ -321,8 +396,10 @@ def orchestrate(tol: float = 1e-5) -> dict:
 if __name__ == "__main__":
     sys.path.insert(0, REPO)
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
-        run_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        run_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                   sys.argv[5], sys.argv[6])
     else:
         result = orchestrate()
         print(json.dumps(result))
-        print("two-process train/eval/push/prune == single-process: OK")
+        print("two-process train/eval/push/prune/runner == "
+              "single-process: OK")
