@@ -250,6 +250,11 @@ class PhaseTrainer:
         self.log(f"PHASE {phase} ({stage}) START: {max_steps} steps, "
                  f"trainable={sorted(groups)}")
 
+        # SIGTERM -> checkpoint -> exit 143; relaunch resumes bit-exactly
+        # (train/preemption.py; multi-process saves stay collective)
+        from scaleprotoseg_tpu.train.preemption import Preempted, get_guard
+        preempt = get_guard(log=self.log)
+
         steps = steps0
         acc_train = MetricAccumulator()
         val_every = val_every_steps or max(len(train_loader), 1)
@@ -269,6 +274,18 @@ class PhaseTrainer:
                 state, metrics = step_fn(state, *batch)
                 fetcher.add(metrics)
                 steps += 1
+
+                if preempt.should_stop(global_step0 + steps):
+                    fetcher.drain()
+                    from scaleprotoseg_tpu.checkpoints.orbax_io import \
+                        save_train_state
+                    save_train_state(
+                        state_dir, state.replace(step=jnp.asarray(steps)),
+                        block=True)
+                    self.log(f"PREEMPTED at step {steps}: train state "
+                             f"committed to {state_dir}; relaunch the "
+                             "same command to resume")
+                    raise Preempted(steps)
 
                 if steps % val_every == 0 or steps >= max_steps:
                     fetcher.drain()
