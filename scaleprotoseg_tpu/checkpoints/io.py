@@ -45,7 +45,16 @@ def spec_from_meta(meta: Dict[str, Any]):
 
 def save_checkpoint(path: str, params, batch_stats=None, spec=None,
                     extra: Optional[Dict[str, Any]] = None) -> None:
-    """Atomically write {params, batch_stats} + JSON metadata."""
+    """Atomically write {params, batch_stats} + JSON metadata.
+
+    One writer per job: under multi-process execution only process 0
+    writes (params are replicated; concurrent writers would race on the
+    same shared-filesystem tmp path and corrupt the file).  Unlike the
+    Orbax state save this is NOT a collective — gating it here is safe
+    and keeps every call site (trainers, push, converters) single-writer
+    without changes."""
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "params": jax.tree.map(np.asarray, params),

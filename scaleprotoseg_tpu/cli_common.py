@@ -167,7 +167,13 @@ def make_loaders(batch_size: int, num_workers: Optional[int] = None,
     its disjoint ``host_id`` index shard yielding its
     ``batch_size / process_count`` local rows — the layout
     ``parallel.assemble_global_batch`` assembles into the global sharded
-    batch inside the runner."""
+    batch inside the runner.  Multi-process loaders drop ragged tail
+    batches (``drop_last``): every step is a collective, so all
+    processes must contribute the same fixed batch shape; a partial
+    global batch could not shard over the mesh.  Up to
+    ``global_batch - 1`` train images per epoch (rotating with the
+    shuffle) and val images (fixed tail) go unseen — single-process
+    runs keep every image."""
     if num_workers is None:
         num_workers = configlib.query("PatchClassificationDataModule",
                                       "dataloader_n_jobs", 8)
@@ -185,10 +191,12 @@ def make_loaders(batch_size: int, num_workers: Optional[int] = None,
                                         root=data_root)
     return (DataLoader(train_ds, local_bs, shuffle=True,
                        num_workers=num_workers, seed=seed,
-                       host_id=pid, num_hosts=nproc),
+                       host_id=pid, num_hosts=nproc,
+                       drop_last=nproc > 1),
             DataLoader(val_ds, local_bs, shuffle=False,
                        num_workers=num_workers, seed=seed,
-                       host_id=pid, num_hosts=nproc))
+                       host_id=pid, num_hosts=nproc,
+                       drop_last=nproc > 1))
 
 
 class PushLoader:

@@ -53,6 +53,14 @@ class DataLoader:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idx)
+        if self.num_hosts > 1:
+            # equal per-host shards: multi-process training runs in
+            # lockstep (every step is a collective), so hosts MUST yield
+            # identical batch counts and sizes.  Drop the
+            # len % num_hosts tail — under shuffle the dropped items
+            # rotate every epoch; unshuffled (val) loaders skip at most
+            # num_hosts-1 trailing items, documented in make_loaders.
+            idx = idx[:len(idx) - (len(idx) % self.num_hosts)]
         return idx[self.host_id::self.num_hosts]
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -157,7 +157,10 @@ def find_k_nearest_patches_to_prototypes(
             labels[p, i] = _patch_label(ann, gi, gj, gh, gw,
                                         proto_class[p])
 
-    if full_save and root_dir_for_saving_images:
+    # one writer: every process holds the identical replicated top-k,
+    # and the artifact pass is collective-free -> process 0 writes
+    if full_save and root_dir_for_saving_images and \
+            jax.process_index() == 0:
         _save_artifacts(push_loader, model, variables, spec, top_d,
                         top_img, top_flat, grid_shape,
                         root_dir_for_saving_images, log)

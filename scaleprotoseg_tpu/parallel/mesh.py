@@ -207,6 +207,17 @@ def assemble_global_batch(batch, mesh: Mesh, axis_name: str = "data"):
         x = np.asarray(x)
         if not x.ndim:
             raise ValueError("cannot assemble a scalar; replicate it")
+        if (x.shape[0] * nproc) % mesh.devices.size:
+            # unlike split_global_batch there is no replicated fallback:
+            # each process holds only ITS rows, so an indivisible global
+            # batch cannot be rebuilt everywhere — the loaders must
+            # yield fixed-size local batches (cli_common.make_loaders
+            # host-shards with drop_last under multi-process)
+            raise ValueError(
+                f"global batch {x.shape[0] * nproc} (local {x.shape[0]} "
+                f"x {nproc} processes) does not divide the "
+                f"{mesh.devices.size}-device mesh; use fixed-size "
+                "batches (DataLoader drop_last=True)")
         return jax.make_array_from_process_local_data(
             sh, x, (x.shape[0] * nproc,) + x.shape[1:])
 
@@ -217,22 +228,40 @@ def split_global_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Multi-process ``shard_batch`` for IDENTICAL global batches: every
     process holds the same full batch (e.g. push's fixed-order full-split
     loader read from a shared filesystem) and contributes its own
-    contiguous block of rows.  Single-process: ``shard_batch``."""
+    contiguous block of rows.  Single-process: ``shard_batch``.
+
+    A batch that does not divide the mesh (the ragged tail of a real
+    split — e.g. Cityscapes' 2975 push images on an 8-device mesh) falls
+    back to REPLICATED placement, mirroring ``shard_batch``'s fallback:
+    every process holds the identical full batch, so each device simply
+    computes all rows redundantly (same replicated outputs, one extra
+    compile for the tail shape)."""
     nproc = jax.process_count()
     if nproc == 1:
         return shard_batch(batch, mesh, axis_name)
     pid = jax.process_index()
+    n = mesh.devices.size
 
     def cut(x):
         x = np.asarray(x)
-        if x.shape[0] % nproc:
-            raise ValueError(
-                f"global batch {x.shape[0]} does not divide "
-                f"{nproc} processes")
+        if x.shape[0] % n:
+            key = (x.shape, n, "split")
+            if key not in _REPLICATION_WARNED:
+                _REPLICATION_WARNED.add(key)
+                import logging
+                logging.getLogger(__name__).warning(
+                    "split_global_batch: batch of shape %s cannot shard "
+                    "over the %d-device mesh — replicating (ragged tail "
+                    "batches are expected at the end of a split)",
+                    x.shape, n)
+            return jax.make_array_from_process_local_data(
+                replicate(mesh), x, x.shape)
         k = x.shape[0] // nproc
-        return x[pid * k:(pid + 1) * k]
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, axis_name), x[pid * k:(pid + 1) * k],
+            x.shape)
 
-    return assemble_global_batch(jax.tree.map(cut, batch), mesh, axis_name)
+    return jax.tree.map(cut, batch)
 
 
 _REPLICATION_WARNED = set()

@@ -233,7 +233,13 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
     params = dict(variables["params"])
     params["prototype_vectors"] = jnp.asarray(new_vectors)
 
-    if save_artifacts and prototypes_dir:
+    # one writer per job: artifact/metadata files live on a shared
+    # filesystem in multi-process runs and every process holds identical
+    # (replicated) push state, so process 0 writes for all (the artifact
+    # pass has no collectives — its forwards are process-local)
+    is_main = jax.process_index() == 0
+
+    if save_artifacts and prototypes_dir and is_main:
         from scaleprotoseg_tpu.push.artifacts import save_push_artifacts
         save_push_artifacts(model, variables, spec, push_loader, best_img,
                             best_flat, prototypes_dir, cls2name=cls2name,
@@ -252,7 +258,7 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
         params = prune_model_params(params, kept, old_spec=spec,
                                     new_spec=new_spec)
 
-    if prototypes_dir:
+    if prototypes_dir and is_main:
         os.makedirs(prototypes_dir, exist_ok=True)
         with open(os.path.join(prototypes_dir,
                                "unique_prototypes.json"), "w") as f:

@@ -70,6 +70,12 @@ class PreemptionGuard:
         self._flag = True
         self._log("SIGTERM received: committing a state checkpoint at "
                   "the next step boundary, then exiting 143")
+        # chain whatever handler was installed before us (e.g. a W&B run
+        # or scheduler wrapper flushing its buffers) so installing the
+        # guard never silently disables another component's cleanup
+        prev = getattr(self, "_prev", None)
+        if callable(prev) and prev is not signal.default_int_handler:
+            prev(signum, frame)
 
     def should_stop(self, step: int) -> bool:
         """True exactly once training must checkpoint and exit.

@@ -197,42 +197,59 @@ class PhaseTrainer:
         # moments) from the phase's Orbax state dir if one exists.
         state_dir = os.path.join(self.checkpoints_dir,
                                  f"{self.stage_key(phase)}_state")
+        val_every = val_every_steps or max(len(train_loader), 1)
         steps0 = 0
+        restored = None
         if resume:
             try:
                 from scaleprotoseg_tpu.checkpoints.orbax_io import \
                     restore_train_state
                 restored = restore_train_state(state_dir, state)
-                if restored is not None:
-                    # Orbax commits arrays to one device; re-place
-                    # replicated over the mesh so sharded batches compose.
-                    from scaleprotoseg_tpu.parallel import replicate
-                    state = jax.device_put(restored,
-                                           replicate(self.mesh))
-                    steps0 = int(state.step)
-                    # best-checkpoint tracking survives the restart: a
-                    # fresh trainer's best_acc=0 would let the first
-                    # post-resume validation overwrite {stage}_best with
-                    # a worse checkpoint
-                    best_path = os.path.join(
-                        self.checkpoints_dir,
-                        f"{self.stage_key(phase)}_best.ckpt.json")
-                    if os.path.exists(best_path):
-                        import json
-                        with open(best_path) as f:
-                            prev = json.load(f).get("extra", {}) \
-                                .get("best_acc", 0.0)
-                        self.best_acc = max(self.best_acc, float(prev))
-                    # continue the data stream instead of restarting it
-                    # (exact with a det_seed dataset; see data/loader.py)
-                    ff = getattr(train_loader, "fast_forward", None)
-                    if ff is not None:
-                        ff(steps0)
-                    self.log(f"Resumed phase {phase} at step {steps0} "
-                             f"from {state_dir} "
-                             f"(best_acc={self.best_acc:.4f})")
             except Exception as e:  # pragma: no cover
                 self.log(f"Resume skipped ({e})")
+        if restored is not None:
+            # the state IS restored from here on: later best-effort steps
+            # get their own guards so a failure can't mislabel the run as
+            # "Resume skipped" while continuing from the restored step
+            from scaleprotoseg_tpu.parallel import replicate
+            state = jax.device_put(restored, replicate(self.mesh))
+            steps0 = int(state.step)
+            # best-checkpoint tracking survives the restart: a fresh
+            # trainer's best_acc=0 would let the first post-resume
+            # validation overwrite {stage}_best with a worse checkpoint
+            try:
+                best_path = os.path.join(
+                    self.checkpoints_dir,
+                    f"{self.stage_key(phase)}_best.ckpt.json")
+                if os.path.exists(best_path):
+                    import json
+                    with open(best_path) as f:
+                        prev = json.load(f).get("extra", {}) \
+                            .get("best_acc", 0.0)
+                    self.best_acc = max(self.best_acc, float(prev))
+            except Exception as e:  # pragma: no cover
+                self.log(f"WARNING: best-checkpoint metadata unreadable "
+                         f"({e}); tracking restarts at 0, so an early "
+                         f"post-resume validation may overwrite "
+                         f"{self.stage_key(phase)}_best")
+            # continue the data streams instead of restarting them (exact
+            # with a det_seed dataset; see data/loader.py).  The val
+            # loader advances one epoch per completed validation — val
+            # items draw augmentation randomness too, so skipping this
+            # would validate on different crops than the straight run.
+            try:
+                ff = getattr(train_loader, "fast_forward", None)
+                if ff is not None:
+                    ff(steps0)
+                vff = getattr(val_loader, "fast_forward", None)
+                if vff is not None:
+                    vff((steps0 // val_every) * len(val_loader))
+            except Exception as e:  # pragma: no cover
+                self.log(f"WARNING: loader fast-forward failed ({e}); "
+                         "the data stream restarts from epoch 0 (resume "
+                         "is not bit-exact)")
+            self.log(f"Resumed phase {phase} at step {steps0} "
+                     f"from {state_dir} (best_acc={self.best_acc:.4f})")
 
         train_bn = (hp["freeze_type"] == "none")
         grad_mask = (variant == "group" and phase == 1 and
@@ -257,7 +274,6 @@ class PhaseTrainer:
 
         steps = steps0
         acc_train = MetricAccumulator()
-        val_every = val_every_steps or max(len(train_loader), 1)
         validations_without_improvement = 0
         stop = False
         # Metric scalars stay on device and are fetched in bulk: a

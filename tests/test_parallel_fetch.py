@@ -65,6 +65,55 @@ def test_loader_host_sharding_disjoint_and_complete(tmp_path):
                                sorted(np.asarray(full)), rtol=1e-6)
 
 
+class _TinyItems:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return (np.full((2, 2, 3), i, np.float32),
+                np.zeros((2, 2), np.int32))
+
+
+def test_loader_host_sharding_equalizes_uneven_datasets():
+    """len(dataset) % num_hosts != 0: every host must yield the SAME
+    batch count and batch sizes — multi-process steps are collectives
+    and desynchronized loaders deadlock them.  The len % num_hosts tail
+    is dropped (rotating with the shuffle)."""
+    from scaleprotoseg_tpu.data.loader import DataLoader
+
+    loaders = [DataLoader(_TinyItems(9), batch_size=2, shuffle=False,
+                          num_workers=1, host_id=h, num_hosts=2)
+               for h in range(2)]
+    per_host = [[img.shape[0] for img, _ in ld] for ld in loaders]
+    assert per_host[0] == per_host[1]            # lockstep shapes
+    assert sum(per_host[0]) == 4 == len(_TinyItems(9)) // 2
+    assert len(loaders[0]) == len(per_host[0])   # __len__ == yielded
+    # shards are disjoint and cover 8 of the 9 items
+    seen = set()
+    for ld in (DataLoader(_TinyItems(9), 2, shuffle=False, num_workers=1,
+                          host_id=h, num_hosts=2) for h in range(2)):
+        for img, _ in ld:
+            seen.update(int(v) for v in img[:, 0, 0, 0])
+    assert len(seen) == 8
+
+    # shuffled: the dropped item rotates with the epoch
+    dropped = []
+    ld = DataLoader(_TinyItems(9), 2, shuffle=True, seed=3, num_workers=1,
+                    host_id=0, num_hosts=2)
+    other = DataLoader(_TinyItems(9), 2, shuffle=True, seed=3,
+                       num_workers=1, host_id=1, num_hosts=2)
+    for _ in range(3):
+        epoch_seen = set()
+        for a, b in zip(ld, other):
+            epoch_seen.update(int(v) for v in a[0][:, 0, 0, 0])
+            epoch_seen.update(int(v) for v in b[0][:, 0, 0, 0])
+        dropped.append((set(range(9)) - epoch_seen).pop())
+    assert len(set(dropped)) > 1
+
+
 def test_equivariance_shim_import_path():
     from scaleprotoseg_tpu.analysis.equivariance import quantile_map
     m = quantile_map(np.arange(16.0).reshape(4, 4), 0.75)
@@ -176,6 +225,8 @@ def test_make_loaders_multiprocess_wiring(tmp_path, monkeypatch):
         assert train.host_id == val.host_id == 1
         assert train.num_hosts == val.num_hosts == 2
         assert len(train) == 2  # 8 images / 2 hosts / batch 2
+        # ragged tail batches cannot shard the collective step
+        assert train.drop_last and val.drop_last
 
         with pytest.raises(ValueError, match="does not divide"):
             make_loaders(5, num_workers=1, data_root=root)

@@ -150,11 +150,18 @@ def test_exact_resume_trajectory(tmp_path):
                   spec=spec, backbone_channels=32)
     variables = dict(model.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 33, 33, 3))))
-    val_loader = _FakeLoader(np.random.default_rng(9), n=2)
 
     def make_loader():
         return DataLoader(_DetDataset(), batch_size=2, shuffle=True,
                           seed=5, num_workers=2)
+
+    def make_val_loader():
+        # det VAL loader too: val items draw augmentation randomness by
+        # epoch, and the runner fast-forwards the val stream on resume
+        # (one epoch per completed validation) so val_acc — and thus
+        # best-checkpoint promotion — matches the straight run
+        return DataLoader(_DetDataset(n=4), batch_size=2, shuffle=False,
+                          seed=7, num_workers=2)
 
     def make_trainer(d):
         return PhaseTrainer(model, spec, "multiscale", str(d), HPARAMS,
@@ -168,19 +175,20 @@ def test_exact_resume_trajectory(tmp_path):
     # uninterrupted: 6 steps (1.5 epochs), validating every 2
     res_full = make_trainer(tmp_path / "straight").run_phase(
         fresh(), phase=2, max_steps=6, train_loader=make_loader(),
-        val_loader=val_loader, val_every_steps=2)
+        val_loader=make_val_loader(), val_every_steps=2)
 
     # interrupted at 4 steps, then a FRESH trainer + loader resumes to 6
     kill_dir = tmp_path / "killed"
     res_a = make_trainer(kill_dir).run_phase(
         fresh(), phase=2, max_steps=4, train_loader=make_loader(),
-        val_loader=val_loader, val_every_steps=2)
+        val_loader=make_val_loader(), val_every_steps=2)
     trainer2 = make_trainer(kill_dir)
     res_b = trainer2.run_phase(
         fresh(), phase=2, max_steps=6, train_loader=make_loader(),
-        val_loader=val_loader, val_every_steps=2)
+        val_loader=make_val_loader(), val_every_steps=2)
 
     assert res_b.steps_done == 6
+    assert res_b.best_acc == res_full.best_acc  # val stream resumed too
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)),

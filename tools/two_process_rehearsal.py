@@ -138,12 +138,15 @@ class _PushLoader:
 
 def _run_push_scan(model, spec, variables, images, targets, mesh):
     """The production push over the mesh (min-scan sharded via
-    split_global_batch in multi-process)."""
+    split_global_batch in multi-process).  Batch 5 over 12 images makes
+    the scan cover BOTH placements: two ragged batches (5 % 2 devices
+    -> the replicated fallback a real split's tail hits) and one even
+    final batch (sharded path)."""
     from scaleprotoseg_tpu.push.push import push_prototypes
 
     res = push_prototypes(
         model, variables, spec,
-        _PushLoader(images, targets, PER_HOST_BATCH * NUM_HOSTS),
+        _PushLoader(images, targets, 5),
         dedup=False, mesh=mesh, log=lambda *a: None)
     return ([int(w) for w in res.winners],
             [float(d) for d in res.min_dists])
@@ -382,12 +385,14 @@ def orchestrate(tol: float = 1e-5) -> dict:
                                   sp["nearest_labels"])
     # runner: the production PhaseTrainer over real host-sharded disk
     # loaders lands on the same params (batch rows are permuted between
-    # the layouts, so fp tolerance rather than bit equality) and the
-    # same best val accuracy (an exact pixel count)
+    # the layouts, so fp tolerance rather than bit equality).  The best
+    # val accuracy is a pixel count from argmax over those fp-divergent
+    # params — a borderline pixel may flip, so tolerance here too.
     np.testing.assert_allclose(mp["runner_last_layer"],
                                sp["runner_last_layer"],
                                rtol=1e-4, atol=1e-5)
-    assert mp["runner_best"] == sp["runner_best"]
+    np.testing.assert_allclose(mp["runner_best"], sp["runner_best"],
+                               atol=5e-3)
     return {"two_process": mp["losses"], "single_process": sp["losses"],
             "miou": sp["miou"],
             "push_matched": int(sum(w >= 0 for w in sp["push_winners"]))}
