@@ -86,6 +86,44 @@ def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
                             antialias=False)
 
 
+@lru_cache(maxsize=512)
+def _bilinear_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """Dense (out, in) interpolation matrix for the align_corners=False
+    size-based grid ``src = (dst + 0.5) * in/out - 0.5`` — the same
+    sampling grid as ``resize_bilinear``/torch ``F.interpolate``; each
+    row holds the two-tap lerp weights.  Returns NUMPY (a cached jnp
+    array would leak a tracer out of its creating trace)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.clip((dst + 0.5) * (in_size / out_size) - 0.5,
+                  0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    t = src - lo
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo] += (1 - t).astype(np.float32)
+    m[np.arange(out_size), hi] += t.astype(np.float32)
+    return m
+
+
+def resize_bilinear_matrix(x: jax.Array, height: int,
+                           width: int) -> jax.Array:
+    """MXU-form twin of ``resize_bilinear``: the two separable
+    interpolations applied as dense einsums (one big matmul per axis)
+    instead of ``jax.image.resize``'s per-axis gather/contraction.
+
+    Same sampling grid, fp32 accumulation; values agree with
+    ``resize_bilinear`` to fp32 roundoff (summation order differs, so
+    not bit-equal — parity-tested to 1e-5 in test_spec_and_ops).  Used
+    by the serving upsample, where the ``jax.image`` lowering measured
+    ~17 ms/image at Cityscapes resolution on v5e — more than half the
+    whole ResNet-101 forward (`benchmarks/bench_serving.py`)."""
+    my = jnp.asarray(_bilinear_matrix(height, x.shape[-3]))
+    mx = jnp.asarray(_bilinear_matrix(width, x.shape[-2]))
+    y = jnp.einsum("oh,...hwc->...owc", my, x.astype(jnp.float32))
+    y = jnp.einsum("pw,...owc->...opc", mx, y)
+    return y
+
+
 def resize_bilinear_factor(x: jax.Array, factor: float) -> jax.Array:
     """Bilinear resize matching torch ``F.interpolate(x, scale_factor=p,
     align_corners=False, recompute_scale_factor=False)``.

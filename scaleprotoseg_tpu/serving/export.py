@@ -39,13 +39,14 @@ import jax.numpy as jnp
 from scaleprotoseg_tpu.checkpoints.io import (load_checkpoint,
                                               save_checkpoint,
                                               spec_from_meta)
-from scaleprotoseg_tpu.ops.resize import resize_bilinear
+from scaleprotoseg_tpu.ops.resize import resize_bilinear_matrix
 
 _FORMAT = "scaleprotoseg_tpu/serving/v1"
 
 
 def make_serving_fn(model, *, output: str = "labels",
-                    upsample: bool = True, fast: bool = False):
+                    upsample: bool = True, fast: bool = False,
+                    normalize_to=None):
     """The inference forward to export: ``fn(variables, x) -> labels``.
 
     ``output='labels'`` argmaxes on device (int32 (B, H, W) — 1 byte of
@@ -53,17 +54,37 @@ def make_serving_fn(model, *, output: str = "labels",
     (B, h, w, C) map pre-argmax (pre-upsample unless ``upsample``).
     ``fast`` routes through the fused Pallas head (TPU only, static
     batch only).
+
+    ``normalize_to`` moves input normalization onto the device: the
+    returned fn takes RAW uint8 RGB and computes
+    ``((x / 255) - IMAGENET_MEAN) / IMAGENET_STD`` in fp32 — the same
+    fp32 ops as the host pipeline (`serve._make_preprocess`), so the
+    result is bit-identical — then casts to this dtype for the model.
+    Cuts host->device transfer 4x (uint8 vs fp32) and removes the
+    per-image host float pass, which is what bounds streaming
+    throughput on thin serving hosts (`benchmarks/bench_serving.py`).
     """
     if output not in ("labels", "logits"):
         raise ValueError(f"output must be labels|logits, got {output!r}")
+    if normalize_to is not None:
+        from scaleprotoseg_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
     def fn(variables, x):
+        if normalize_to is not None:
+            x = ((x.astype(jnp.float32) / 255.0 - mean) / std).astype(
+                normalize_to)
         if fast:
             logits = model.apply(variables, x, method="fast_logits")
         else:
             logits = model.apply(variables, x, train=False).logits
         if upsample:
-            logits = resize_bilinear(logits, x.shape[1], x.shape[2])
+            # matrix-form upsample: the jax.image lowering costs ~17
+            # ms/image at 1024x2048 on v5e (~60% of the whole forward);
+            # the einsum form is the same grid at fp32-roundoff parity
+            logits = resize_bilinear_matrix(logits, x.shape[1],
+                                            x.shape[2])
         if output == "labels":
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return logits
@@ -72,7 +93,8 @@ def make_serving_fn(model, *, output: str = "labels",
 
 
 def make_mesh_predict(model, variables, mesh, *, output: str = "labels",
-                      upsample: bool = True, fast: bool = False):
+                      upsample: bool = True, fast: bool = False,
+                      normalize_to=None):
     """Data-parallel serving over a device mesh: ``predict(x)``.
 
     Params replicate, the batch shards on the mesh's leading axis, and
@@ -87,7 +109,7 @@ def make_mesh_predict(model, variables, mesh, *, output: str = "labels",
     from scaleprotoseg_tpu.parallel.mesh import batch_sharding, replicate
 
     fn = make_serving_fn(model, output=output, upsample=upsample,
-                         fast=fast)
+                         fast=fast, normalize_to=normalize_to)
     rep = replicate(mesh)
     shard = batch_sharding(mesh)
     jfn = jax.jit(fn,
@@ -112,12 +134,17 @@ def export_serving(model, variables, *, height: int, width: int,
                    input_dtype=jnp.bfloat16,
                    output: str = "labels", upsample: bool = True,
                    fast: bool = False,
-                   platforms: Optional[Sequence[str]] = None):
+                   platforms: Optional[Sequence[str]] = None,
+                   device_preprocess: bool = False):
     """Lower + serialize the forward; returns ``jax.export.Exported``.
 
     ``platforms=None`` exports for the current default backend only.
     ``batch=None`` uses a symbolic batch dim (incompatible with
     ``fast=True``: the Pallas kernels' grids are shape-static).
+    ``device_preprocess=True`` bakes input normalization into the
+    module: the artifact takes RAW uint8 RGB and normalizes on device
+    (``input_dtype`` then names the post-normalize compute dtype) —
+    see ``make_serving_fn(normalize_to=...)``.
     """
     from jax import export as jexport
 
@@ -126,12 +153,15 @@ def export_serving(model, variables, *, height: int, width: int,
                          "Pallas kernels flatten B*H*W into a static "
                          "grid")
     bdim = jexport.symbolic_shape("b")[0] if batch is None else batch
-    x_spec = jax.ShapeDtypeStruct((bdim, height, width, 3), input_dtype)
+    wire_dtype = jnp.uint8 if device_preprocess else input_dtype
+    x_spec = jax.ShapeDtypeStruct((bdim, height, width, 3), wire_dtype)
     var_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
         variables)
     fn = make_serving_fn(model, output=output, upsample=upsample,
-                         fast=fast)
+                         fast=fast,
+                         normalize_to=input_dtype if device_preprocess
+                         else None)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
@@ -161,6 +191,10 @@ def save_artifact(path: str, exported, variables, spec=None,
             "shape": [None if jexport.is_symbolic_dim(d) else int(d)
                       for d in in_aval.shape],
             "dtype": jnp.dtype(in_aval.dtype).name,
+            # uint8 wire dtype <=> normalization is baked into the
+            # module (export_serving device_preprocess); the model
+            # itself never ingests raw uint8
+            "device_normalize": jnp.dtype(in_aval.dtype) == jnp.uint8,
         },
         "output": {
             "shape": [None if jexport.is_symbolic_dim(d) else int(d)

@@ -19,6 +19,12 @@ compiled program, so images must share one shape — or pass
 ``--canvas H W`` to bottom/right-pad a mixed-size directory to a
 common canvas and crop each prediction back.  Output: one grayscale
 PNG of train-id labels per image + a JSON throughput line.
+
+Normalization runs ON DEVICE by default: raw uint8 ships over the
+wire (4x less transfer than fp32, no per-image host float pass — the
+streaming bottleneck on thin hosts) and the served graph computes the
+same fp32 ``(x/255 - mean)/std`` bit-identically.  ``--host-preprocess``
+restores the host path; ``--canvas`` and float sources imply it.
 """
 
 from __future__ import annotations
@@ -44,13 +50,19 @@ def _list_images(input_dir: str, limit: Optional[int]) -> List[str]:
 
 
 def _make_preprocess(input_dir: str, margin: int = 0,
-                     canvas=None, sizes=None):
+                     canvas=None, sizes=None, normalize: bool = True):
     """Decode + normalize; with ``canvas=(H, W)`` bottom/right-pad every
     image to one fixed shape (zeros after normalization = the dataset
     mean) so a single compiled program serves a mixed-size directory.
     ``sizes`` (a dict) records each name's pre-pad (h, w) for cropping
     the prediction back — filled from the engine's preprocess threads,
-    always before that item's batch is dispatched."""
+    always before that item's batch is dispatched.
+
+    ``normalize=False`` is the device-preprocess mode (the default
+    serving path): the host only decodes, and raw uint8 ships to the
+    device, where the served graph normalizes
+    (`export.make_serving_fn(normalize_to=...)`) — 4x less transfer
+    and no per-image host float pass.  Requires uint8 sources."""
     mean = np.asarray(IMAGENET_MEAN, np.float32)
     std = np.asarray(IMAGENET_STD, np.float32)
 
@@ -63,7 +75,20 @@ def _make_preprocess(input_dir: str, margin: int = 0,
             img = np.asarray(Image.open(path).convert("RGB"))
         if margin:
             img = img[margin:-margin, margin:-margin]
-        out = (img.astype(np.float32) / 255.0 - mean) / std
+        if canvas is not None and not normalize:
+            # canvas padding must be EXACTLY the dataset mean (zero in
+            # normalized space) for the pad-crop parity contract; uint8
+            # can only approximate it, so main() forces host preprocess
+            raise AssertionError("--canvas requires host preprocessing")
+        if normalize:
+            out = (img.astype(np.float32) / 255.0 - mean) / std
+        elif img.dtype != np.uint8:
+            raise ValueError(
+                f"{name} is {img.dtype}, not uint8 — device-side "
+                "normalization ingests raw uint8; rerun with "
+                "--host-preprocess for float sources")
+        else:
+            out = img
         if canvas is not None:
             h, w = out.shape[:2]
             ch, cw = canvas
@@ -130,6 +155,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    "compiled program), crop predictions back per image")
     p.add_argument("--workers", type=int, default=2)
     p.add_argument("--results-root", help="override settings results dir")
+    p.add_argument("--host-preprocess", action="store_true",
+                   help="normalize on the host (fp32) instead of the "
+                   "default on-device normalization of raw uint8 "
+                   "(bit-identical math; the device path ships 4x "
+                   "less data and frees the host decode threads). "
+                   "Implied by --canvas and by float image sources")
     p.add_argument("--no-fast", action="store_true",
                    help="disable the fused Pallas fast path")
     p.add_argument("--quant8", action="store_true",
@@ -151,12 +182,24 @@ def main(argv: Optional[List[str]] = None) -> dict:
     import jax.numpy as jnp
 
     names = _list_images(args.input, args.limit)
-    sizes = {} if args.canvas else None
-    preprocess = _make_preprocess(
-        args.input, args.margin,
-        canvas=tuple(args.canvas) if args.canvas else None, sizes=sizes)
-    probe = preprocess(names[0])
-    h, w = probe.shape[:2]
+    canvas = tuple(args.canvas) if args.canvas else None
+    sizes = {} if canvas else None
+
+    # shape probe + preprocess-mode choice: device-side normalization
+    # (uint8 on the wire) is the default; --canvas needs an exact
+    # dataset-mean pad and float sources can't ship as uint8, so both
+    # imply the host path
+    first = os.path.join(args.input, names[0])
+    if names[0].endswith(".npy"):
+        raw0 = np.load(first)
+    else:
+        from PIL import Image
+        raw0 = np.asarray(Image.open(first).convert("RGB"))
+    if args.margin:
+        raw0 = raw0[args.margin:-args.margin, args.margin:-args.margin]
+    h, w = canvas if canvas else raw0.shape[:2]
+    device_pre = not (args.host_preprocess or canvas
+                      or raw0.dtype != np.uint8)
     if args.platforms and not args.export:
         p.error("--platforms shapes the exported artifact; pass --export")
     if args.dynamic_batch and not args.export:
@@ -182,6 +225,16 @@ def main(argv: Optional[List[str]] = None) -> dict:
         b = served.input_shape[0]
         batch = args.batch if b is None else b
         predict, in_dtype = served.predict, served.input_dtype
+        # the artifact dictates the preprocess split: a uint8-input
+        # module has normalization baked in (export --device-preprocess
+        # default); float-input modules expect host-normalized data
+        art_dev = bool(served.meta["input"].get(
+            "device_normalize", in_dtype == jnp.dtype(jnp.uint8)))
+        if art_dev and (args.host_preprocess or canvas):
+            p.error("this artifact normalizes on device (uint8 input); "
+                    "--host-preprocess/--canvas need a host-normalized "
+                    "artifact — re-export with --host-preprocess")
+        device_pre = art_dev
     else:
         if not (args.model_name and args.training_phase):
             p.error("need MODEL_NAME TRAINING_PHASE or --artifact")
@@ -203,7 +256,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 model, variables, height=h, width=w,
                 batch=None if args.dynamic_batch else args.batch,
                 input_dtype=in_dtype, fast=fast,
-                platforms=platforms)
+                platforms=platforms, device_preprocess=device_pre)
             save_artifact(args.export, exported, variables, spec=spec,
                           extra={"model_path": model_path,
                                  "checkpoint": ckpt, "fast": fast,
@@ -222,18 +275,25 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         f"--mesh {args.mesh}")
             predict = make_mesh_predict(
                 model, variables, create_mesh(n_devices=args.mesh),
-                fast=fast)
+                fast=fast,
+                normalize_to=in_dtype if device_pre else None)
         else:
             from scaleprotoseg_tpu.serving.export import make_serving_fn
-            fn = jax.jit(make_serving_fn(model, fast=fast))
+            fn = jax.jit(make_serving_fn(
+                model, fast=fast,
+                normalize_to=in_dtype if device_pre else None))
             predict = lambda x: fn(variables, x)  # noqa: E731
         batch = args.batch
 
     out_dir = args.output or os.path.join(args.input, "predictions")
+    wire_dtype = jnp.dtype(jnp.uint8) if device_pre else jnp.dtype(in_dtype)
+    preprocess = _make_preprocess(args.input, args.margin, canvas=canvas,
+                                  sizes=sizes, normalize=not device_pre)
     cast = lambda name: np.asarray(  # noqa: E731
-        preprocess(name), jnp.dtype(in_dtype))
+        preprocess(name), wire_dtype)
     record = run_serving(predict, names, cast, out_dir, batch,
                          workers=args.workers, sizes=sizes)
+    record["preprocess"] = "device" if device_pre else "host"
     print(json.dumps(record))
     return record
 

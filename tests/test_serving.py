@@ -98,6 +98,120 @@ def test_logits_output_mode(tiny):
     np.testing.assert_array_equal(labels, jnp.argmax(up, axis=-1))
 
 
+def test_device_normalize_bit_parity(tiny):
+    """On-device normalization of raw uint8 (`make_serving_fn
+    normalize_to=`) is bit-identical to the host pipeline
+    (`serve._make_preprocess`): same fp32 ops, same constants."""
+    from scaleprotoseg_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    model, _, variables = tiny
+    rng = np.random.default_rng(21)
+    raw = rng.integers(0, 256, size=(2, 33, 33, 3)).astype(np.uint8)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    host_x = (raw.astype(np.float32) / 255.0 - mean) / std
+
+    host = jax.jit(make_serving_fn(model))(variables, host_x)
+    dev = jax.jit(make_serving_fn(model, normalize_to=jnp.float32))(
+        variables, raw)
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(host))
+    # mesh form composes with normalize_to
+    from scaleprotoseg_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(n_devices=2)
+    mp = make_mesh_predict(model, variables, mesh,
+                           normalize_to=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(mp(raw)), np.asarray(host))
+
+
+def test_device_preprocess_export_roundtrip(tiny, tmp_path):
+    """export_serving(device_preprocess=True) bakes normalization into
+    the module: the artifact's wire dtype is uint8, meta records it,
+    and the deserialized module reproduces the host-normalized jit."""
+    model, spec, variables = tiny
+    rng = np.random.default_rng(22)
+    raw = rng.integers(0, 256, size=(2, 33, 33, 3)).astype(np.uint8)
+
+    exported = export_serving(model, variables, height=33, width=33,
+                              batch=2, input_dtype=jnp.float32,
+                              device_preprocess=True)
+    art = str(tmp_path / "artifact_u8")
+    save_artifact(art, exported, variables, spec=spec)
+    served = load_artifact(art)
+    assert served.input_dtype == jnp.dtype(jnp.uint8)
+    assert served.meta["input"]["device_normalize"] is True
+
+    want = jax.jit(make_serving_fn(model, normalize_to=jnp.float32))(
+        variables, raw)
+    np.testing.assert_array_equal(np.asarray(served.predict(raw)),
+                                  np.asarray(want))
+
+
+def test_serve_cli_device_preprocess_default(tiny, tmp_path):
+    """The CLI defaults to device-side normalization for uint8 sources
+    and produces the same PNGs as --host-preprocess (bit-identical
+    math); --canvas and float sources fall back to the host path."""
+    import scaleprotoseg_tpu.serving.serve as serve_mod
+    import scaleprotoseg_tpu.model_loading as ml
+
+    model, spec, variables = tiny
+    in_dir = tmp_path / "images"
+    in_dir.mkdir()
+    rng = np.random.default_rng(23)
+    for i in range(3):
+        np.save(in_dir / f"f{i}.npy",
+                rng.integers(0, 256, size=(33, 33, 3)).astype(np.uint8))
+
+    orig_load, orig_resolve = ml.load_model, ml.resolve_checkpoint
+    ml.load_model = lambda *a, **k: (model, spec, variables)
+    ml.resolve_checkpoint = lambda *a: "ckpt"
+    try:
+        rec_dev = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--output", str(tmp_path / "p_dev"), "--batch", "2",
+             "--results-root", str(tmp_path)])
+        assert rec_dev["preprocess"] == "device"
+        rec_host = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--output", str(tmp_path / "p_host"), "--batch", "2",
+             "--host-preprocess", "--results-root", str(tmp_path)])
+        assert rec_host["preprocess"] == "host"
+        from PIL import Image
+        for i in range(3):
+            a = np.asarray(Image.open(tmp_path / "p_dev" / f"f{i}.png"))
+            b = np.asarray(Image.open(tmp_path / "p_host" / f"f{i}.png"))
+            np.testing.assert_array_equal(a, b)
+
+        # float sources imply the host path
+        np.save(in_dir / "a_float.npy",
+                rng.random((33, 33, 3)).astype(np.float32) * 255)
+        rec_f = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--output", str(tmp_path / "p_f"), "--batch", "2",
+             "--results-root", str(tmp_path)])
+        assert rec_f["preprocess"] == "host"
+
+        # a device-normalizing artifact refuses host-side flags
+        art = str(tmp_path / "artifact")
+        os.remove(in_dir / "a_float.npy")
+        serve_mod.main(["run", "final", "--input", str(in_dir),
+                        "--batch", "2", "--export", art,
+                        "--results-root", str(tmp_path)])
+        assert load_artifact(art).input_dtype == jnp.dtype(jnp.uint8)
+        out = serve_mod.main(["--artifact", art, "--input", str(in_dir),
+                              "--output", str(tmp_path / "p_art")])
+        assert out["preprocess"] == "device"
+        from PIL import Image
+        for i in range(3):
+            a = np.asarray(Image.open(tmp_path / "p_art" / f"f{i}.png"))
+            b = np.asarray(Image.open(tmp_path / "p_dev" / f"f{i}.png"))
+            np.testing.assert_array_equal(a, b)
+        with pytest.raises(SystemExit):
+            serve_mod.main(["--artifact", art, "--input", str(in_dir),
+                            "--host-preprocess"])
+    finally:
+        ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
+
+
 def test_fast_requires_fixed_batch(tiny):
     model, _, variables = tiny
     with pytest.raises(ValueError, match="fixed batch"):

@@ -186,6 +186,30 @@ def test_resize_bilinear_downscale_no_antialias(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((6, 8), (12, 16)),       # clean 2x up
+    ((129, 257), (1024, 2048)),  # serving's logit upsample shape ratio
+    ((20, 28), (10, 14)),     # downscale (2-tap, antialias-free)
+    ((17, 13), (33, 29)),     # odd/odd
+])
+def test_resize_bilinear_matrix_matches_torch(rng, in_hw, out_hw):
+    # the MXU einsum form (serving upsample) uses the same
+    # align_corners=False grid as resize_bilinear/torch; summation
+    # order differs, so parity is fp32-roundoff, not bit
+    from scaleprotoseg_tpu.ops.resize import resize_bilinear_matrix
+    torch = pytest.importorskip("torch")
+    x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
+    got = np.array(resize_bilinear_matrix(jnp.asarray(x), *out_hw))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.interpolate(
+        xt, size=out_hw, mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(got, exp.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        got, np.array(resize_bilinear(jnp.asarray(x), *out_hw)),
+        rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("size,factor", [(65, 0.5), (65, 0.75), (32, 0.5)])
 def test_resize_bilinear_factor_matches_torch(rng, size, factor):
     # scale_factor semantics: torch maps output pixel o to input coord
