@@ -8,12 +8,20 @@ measures:
      deserialized StableHLO module (the deployable path);
   2. ``jit_img_per_s``       — same forward through in-process jit
      (bench.py's path) for comparison;
-  3. ``pipeline_img_per_s``  — ServingEngine end-to-end over a stream
-     of host images (decode ∥ compute ∥ fetch overlap).  On this
-     single-core host the bf16 cast of an 8-MP image bounds this
-     number — it measures the pipeline machinery, not the chip;
-  4. ``quant8_img_per_s``    — same jit forward with the dynamic w8a8
-     int8 backbone (`ops/quant.py`; 2x MXU rate on v5e).
+  3. ``pipeline_host_img_per_s`` — ServingEngine end-to-end with HOST
+     preprocessing (fp32 normalize + bf16 on the wire).  On this
+     single-core host the per-image float pass and the fat transfers
+     bound this number — it measures the pipeline machinery;
+  4. ``pipeline_u8_img_per_s``   — same stream with the default
+     DEVICE preprocessing (raw uint8 on the wire, normalization in
+     the served graph, uint8 labels back): 4x less data each way and
+     no host float pass;
+  5. ``quant8_img_per_s``    — the shipped quant8 config (dynamic
+     w8a8 int8 layer4/5, fully-XLA path — exactly what
+     ``load_model(quant8=True, fast=True)`` builds).  Expected BELOW
+     bf16 — quant8 is a memory/accuracy knob (`ops/quant.py` has the
+     measured breakdown, incl. why every Pallas kernel must stay off
+     under quant8).
 
 Claim under test: export/deserialize adds no throughput cost — the
 artifact serves at the jit path's img/s (ratio ~1.0 within the hosted
@@ -93,21 +101,38 @@ def main():
                           "vs_jit": round(art_rate / jit_rate, 3)}))
 
         n_stream = batch * 8
-        engine = ServingEngine(served.predict, batch,
-                               preprocess=lambda i: data[i % batch],
-                               workers=2)
-        for _ in engine.run((f"w{i}", i) for i in range(batch)):
-            pass  # warmup
-        t0 = time.perf_counter()
-        count = sum(1 for _ in engine.run(
-            (f"s{i}", i) for i in range(n_stream)))
-        dt = time.perf_counter() - t0
-        print(json.dumps({"metric": "serving_pipeline_img_per_s",
-                          "value": round(count / dt, 3),
-                          "images": count}))
 
+        def run_pipeline(predict, preprocess, metric):
+            engine = ServingEngine(predict, batch, preprocess=preprocess,
+                                   workers=2)
+            for _ in engine.run((f"w{i}", i) for i in range(batch)):
+                pass  # warmup
+            t0 = time.perf_counter()
+            count = sum(1 for _ in engine.run(
+                (f"s{i}", i) for i in range(n_stream)))
+            dt = time.perf_counter() - t0
+            print(json.dumps({"metric": metric,
+                              "value": round(count / dt, 3),
+                              "images": count}))
+
+        host_pre = lambda i: np.asarray(  # noqa: E731
+            data[i % batch], jnp.bfloat16)
+        run_pipeline(served.predict, host_pre,
+                     "serving_pipeline_host_img_per_s")
+
+        raw = (data * 255).astype(np.uint8)
+        fn_u8 = jax.jit(make_serving_fn(model, fast=on_tpu,
+                                        normalize_to=jnp.bfloat16))
+        run_pipeline(lambda xb: fn_u8(variables, xb),
+                     lambda i: raw[i % batch],
+                     "serving_pipeline_u8_img_per_s")
+
+    # the shipped quant8 config is fully-XLA: the int8 activation
+    # layout + any Pallas call's layout constraint measured a 3x
+    # whole-model cliff (ops/quant.py).  fast=on_tpu here exercises
+    # make_serving_fn's own quant8 guard (it must drop the flag).
     model_q8, _ = _flagship(tiny=not on_tpu, grouped=True,
-                            fast_aspp=on_tpu, quant8=True)
+                            fast_aspp=False, quant8=True)
     fn_q8 = jax.jit(make_serving_fn(model_q8, fast=on_tpu))
     q8_rate = _measure(lambda a: fn_q8(variables, a), x, iters)
     print(json.dumps({"metric": "serving_quant8_img_per_s",

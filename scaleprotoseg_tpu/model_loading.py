@@ -44,9 +44,15 @@ def load_model(model_path: str, checkpoint_path: str,
     (requires ``dtype=bfloat16``; differentiable via its custom VJP —
     ops/pallas_aspp.fused_aspp_trainable — and batch-shardable on
     multi-device meshes via its custom_partitioning rule).
-    ``quant8=True`` additionally runs the ResNet convs in dynamic w8a8
-    int8 (`ops/quant.py`) — inference serving only; the param tree is
-    unchanged, so the same checkpoint loads either way."""
+    ``quant8=True`` additionally runs the layer4/5 ResNet convs in
+    dynamic w8a8 int8 (`ops/quant.py`) — inference serving only; the
+    param tree is unchanged, so the same checkpoint loads either way.
+    quant8 forces the fully-XLA path (overrides ``fast``): int8 convs
+    flip XLA's activation layouts, and ANY downstream Pallas custom
+    call (ASPP, proto head, or upsample) then constrains its operand
+    layout, forcing a relayout measured at a 3x whole-model cliff on
+    v5e (317-382 vs 127 ms at batch 4 1024x2048 — ops/quant.py).
+    ``make_serving_fn`` applies the same guard to its ``fast`` flag."""
     from scaleprotoseg_tpu.cli_common import enable_compilation_cache
     enable_compilation_cache()
     params, batch_stats, meta = load_checkpoint(checkpoint_path)
@@ -79,7 +85,7 @@ def load_model(model_path: str, checkpoint_path: str,
         dtype=dtype)
     if built_spec != spec:
         model = dataclasses.replace(model, spec=spec)
-    if fast and hasattr(model.backbone, "fast_aspp"):
+    if fast and not quant8 and hasattr(model.backbone, "fast_aspp"):
         model = dataclasses.replace(
             model,
             backbone=dataclasses.replace(model.backbone, fast_aspp=True))
@@ -87,6 +93,9 @@ def load_model(model_path: str, checkpoint_path: str,
         if not hasattr(model.backbone, "quant8"):
             raise ValueError("quant8 serving needs a DeepLabV2 backbone; "
                              f"got {type(model.backbone).__name__}")
+        # NOT fast_aspp: int8 convs make XLA lay activations out
+        # batch-second-minor, and any Pallas call's layout constraint
+        # then forces a relayout that measured 317-382 vs 127 ms/batch.
         model = dataclasses.replace(
             model,
             backbone=dataclasses.replace(model.backbone, quant8=True))

@@ -238,8 +238,19 @@ class DeepLabV2(nn.Module):
     # training too; default False keeps the parity-tested XLA form.
     fast_aspp: bool = False
     # dynamic w8a8 int8 ResNet convs (inference serving only; the ASPP
-    # head stays bf16 via fast_aspp).  2x MXU rate on v5e — see
-    # ops/quant.py; identical param tree, any checkpoint loads.
+    # stays bf16).  Applied to the DILATED layers only (layer4/5 — 84%
+    # of the FLOPs): in the HBM-bound stem/layer2/3 the per-conv
+    # dynamic quantize (an extra read + global max + int8 write per
+    # activation) costs more than the conv saves — a whole-backbone
+    # quant8 measured 3x slower end-to-end.  Even scoped, XLA's int8
+    # conv lowering runs at ~the bf16 rate on v5e (not the 2x MXU
+    # peak), so quant8 is a memory/accuracy deployment knob, not a
+    # speed win — measured numbers in ops/quant.py.  Do NOT combine
+    # with fast_aspp or any downstream Pallas call: the int8-conv
+    # activation layout forces a relayout at every Pallas operand-
+    # layout constraint, measured at a 3x whole-model cliff
+    # (load_model and make_serving_fn enforce the fully-XLA path).
+    # Identical param tree either way; any checkpoint loads.
     quant8: bool = False
 
     @nn.compact
@@ -251,12 +262,11 @@ class DeepLabV2(nn.Module):
         # train_bn=False but gradients still flow.
         q8 = self.quant8
         ch = [64 * 2 ** p for p in range(6)]
-        x = Stem(out=ch[0], dtype=self.dtype, quant8=q8,
-                 name="layer1")(x, train_bn)
+        x = Stem(out=ch[0], dtype=self.dtype, name="layer1")(x, train_bn)
         x = ResLayer(self.n_blocks[0], ch[0], ch[2], 1, 1,
-                     dtype=self.dtype, quant8=q8, name="layer2")(x, train_bn)
+                     dtype=self.dtype, name="layer2")(x, train_bn)
         x = ResLayer(self.n_blocks[1], ch[1], ch[3], 2, 1,
-                     dtype=self.dtype, quant8=q8, name="layer3")(x, train_bn)
+                     dtype=self.dtype, name="layer3")(x, train_bn)
         x = ResLayer(self.n_blocks[2], ch[2], ch[4], 1, 2,
                      dtype=self.dtype, quant8=q8, name="layer4")(x, train_bn)
         x = ResLayer(self.n_blocks[3], ch[3], ch[5], 1, 4,

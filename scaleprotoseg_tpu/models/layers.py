@@ -48,6 +48,7 @@ class _QuantConv(nn.Module):
     strides: Tuple[int, int]
     dilation: Tuple[int, int]
     padding: Sequence[Tuple[int, int]]
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -57,7 +58,8 @@ class _QuantConv(nn.Module):
                             (kh, kw, x.shape[-1], self.features))
         return dynamic_int8_conv(x, kernel, strides=self.strides,
                                  padding=list(self.padding),
-                                 dilation=self.dilation)
+                                 dilation=self.dilation,
+                                 out_dtype=self.dtype)
 
 
 class ConvBN(nn.Module):
@@ -66,7 +68,8 @@ class ConvBN(nn.Module):
     ``s2d_stem=True`` (7x7/2 convs only) computes the conv via
     space-to-depth — same parameters, ~2x faster for RGB stems on TPU.
     ``quant8=True`` (inference serving) computes the conv in dynamic
-    w8a8 int8 on the MXU at 2x the bf16 rate — identical param tree.
+    w8a8 int8 on the MXU (identical param tree; measured perf caveats
+    in ops/quant.py — a memory/accuracy knob, not a speed win).
     """
 
     features: int
@@ -99,7 +102,7 @@ class ConvBN(nn.Module):
         if self.quant8:
             x = _QuantConv(self.features, self.kernel_size,
                            strides=self.strides, dilation=self.dilation,
-                           padding=pad, name="conv")(x)
+                           padding=pad, dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(self.features, self.kernel_size,
                         strides=self.strides,

@@ -49,11 +49,14 @@ def make_serving_fn(model, *, output: str = "labels",
                     normalize_to=None):
     """The inference forward to export: ``fn(variables, x) -> labels``.
 
-    ``output='labels'`` argmaxes on device (int32 (B, H, W) — 1 byte of
-    host transfer per ~80 of logits); ``'logits'`` returns the fp32
-    (B, h, w, C) map pre-argmax (pre-upsample unless ``upsample``).
-    ``fast`` routes through the fused Pallas head (TPU only, static
-    batch only).
+    ``output='labels'`` argmaxes on device and ships uint8 (B, H, W) —
+    1 byte of host transfer per ~320 of fp32 logits (int32 when the
+    model has >255 classes; no reference dataset does); ``'logits'``
+    returns the fp32 (B, h, w, C) map pre-argmax (pre-upsample unless
+    ``upsample``).  ``fast`` routes through the fused Pallas head (TPU
+    only, static batch only) and fuses the label upsample+argmax into
+    one kernel that never materializes the full-res logits
+    (`ops/pallas_upsample.py`).
 
     ``normalize_to`` moves input normalization onto the device: the
     returned fn takes RAW uint8 RGB and computes
@@ -63,9 +66,17 @@ def make_serving_fn(model, *, output: str = "labels",
     Cuts host->device transfer 4x (uint8 vs fp32) and removes the
     per-image host float pass, which is what bounds streaming
     throughput on thin serving hosts (`benchmarks/bench_serving.py`).
+
+    quant8 backbones silently drop ``fast``: int8 convs flip XLA's
+    activation layouts, and ANY downstream Pallas custom call (fused
+    head or upsample) then constrains its operand layout, forcing a
+    relayout measured at a 3x whole-model cliff on v5e (382 vs 127
+    ms/batch — ops/quant.py has the full breakdown).
     """
     if output not in ("labels", "logits"):
         raise ValueError(f"output must be labels|logits, got {output!r}")
+    if getattr(model.backbone, "quant8", False):
+        fast = False
     if normalize_to is not None:
         from scaleprotoseg_tpu.constants import IMAGENET_MEAN, IMAGENET_STD
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
@@ -79,14 +90,26 @@ def make_serving_fn(model, *, output: str = "labels",
             logits = model.apply(variables, x, method="fast_logits")
         else:
             logits = model.apply(variables, x, train=False).logits
+        if output == "labels":
+            ldtype = jnp.uint8 if logits.shape[-1] <= 255 else jnp.int32
+            if upsample and fast:
+                from scaleprotoseg_tpu.ops.pallas_upsample import (
+                    fused_upsample_argmax_sharded)
+                labels = fused_upsample_argmax_sharded(
+                    logits, x.shape[1], x.shape[2])
+            else:
+                if upsample:
+                    logits = resize_bilinear_matrix(
+                        logits, x.shape[1], x.shape[2])
+                labels = jnp.argmax(logits, axis=-1)
+            return labels.astype(ldtype)
         if upsample:
-            # matrix-form upsample: the jax.image lowering costs ~17
-            # ms/image at 1024x2048 on v5e (~60% of the whole forward);
-            # the einsum form is the same grid at fp32-roundoff parity
+            # matrix-form upsample: the jax.image lowering of the
+            # full-res fp32 resize is both slower and wholly
+            # materialized; the einsum form is the same grid at
+            # fp32-roundoff parity (ops/resize.py)
             logits = resize_bilinear_matrix(logits, x.shape[1],
                                             x.shape[2])
-        if output == "labels":
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return logits
 
     return fn

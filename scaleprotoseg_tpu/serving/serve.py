@@ -164,8 +164,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--no-fast", action="store_true",
                    help="disable the fused Pallas fast path")
     p.add_argument("--quant8", action="store_true",
-                   help="dynamic w8a8 int8 ResNet convs (2x MXU rate; "
-                   "~0.5%% logit perturbation — see ops/quant.py)")
+                   help="dynamic w8a8 int8 layer4/5 convs (~0.5%% "
+                   "logit perturbation; memory knob — measured SLOWER "
+                   "than bf16 on v5e, and it forces the fully-XLA "
+                   "path: see ops/quant.py)")
     p.add_argument("--dynamic-batch", action="store_true",
                    help="export with a symbolic batch dim (XLA path)")
     p.add_argument("--platforms",

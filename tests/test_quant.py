@@ -148,6 +148,55 @@ def test_load_model_quant8_rejects_non_deeplab(tmp_path):
         load_model(str(tmp_path), str(ckpt), quant8=True)
 
 
+def test_load_model_quant8_forces_xla_aspp(tmp_path):
+    # quant8 + fused Pallas ASPP measured a 3x whole-model cliff (the
+    # int8-conv activation layout forces a relayout at the kernel's
+    # operand-layout constraint — ops/quant.py), so load_model must
+    # drop fast_aspp when quant8 is requested, even with fast=True
+    from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
+    from scaleprotoseg_tpu.model_loading import load_model
+    from scaleprotoseg_tpu.spec import ProtoSpec
+
+    spec = ProtoSpec.equal_allocation(8, 64, num_classes=2, num_scales=4)
+    (tmp_path / "config.gin").write_text(
+        "construct_PPNet.base_architecture = "
+        "'deeplabv2_resnet50_multiscale'\n"
+        "construct_PPNet.prototype_activation_function = 'log'\n"
+        "construct_PPNet.add_on_layers_type = 'deeplab_simple'\n"
+        "deeplabv2_resnet50_features_multiscale.deeplab_n_features = 64\n")
+    ckpt = tmp_path / "toy.ckpt"
+    save_checkpoint(str(ckpt), {}, spec=spec)
+
+    model, _, _ = load_model(str(tmp_path), str(ckpt), fast=True,
+                             quant8=True)
+    assert model.backbone.quant8 is True
+    assert model.backbone.fast_aspp is False
+
+    model_fast, _, _ = load_model(str(tmp_path), str(ckpt), fast=True)
+    assert model_fast.backbone.fast_aspp is True
+    assert model_fast.backbone.quant8 is False
+
+
+def test_make_serving_fn_drops_fast_for_quant8(rng):
+    # same cliff downstream: the fused proto head / fused upsample are
+    # Pallas calls too, so make_serving_fn must ignore fast=True on a
+    # quant8 model (pinned by equality with the explicit fast=False fn)
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship, synthetic_init
+    from scaleprotoseg_tpu.serving import make_serving_fn
+
+    model_q8, _ = _flagship(tiny=True, grouped=True, dtype=jnp.float32,
+                            quant8=True)
+    x = jnp.asarray(rng.standard_normal((1, 33, 33, 3)), jnp.float32)
+    shapes = jax.eval_shape(lambda k: model_q8.init(k, x),
+                            jax.random.PRNGKey(0))
+    variables = synthetic_init(shapes)
+    y_fast = np.asarray(make_serving_fn(model_q8, fast=True)(variables, x))
+    y_slow = np.asarray(make_serving_fn(model_q8, fast=False)(variables, x))
+    np.testing.assert_array_equal(y_fast, y_slow)
+
+
 def test_quantize_symmetric_axis_tuple(rng):
     # the documented tuple-axis mode: keep those axes, reduce the rest
     x = rng.standard_normal((3, 5, 7, 4)).astype(np.float32)

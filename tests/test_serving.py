@@ -48,7 +48,7 @@ def test_export_fixed_batch_roundtrip(tiny, tmp_path):
     x = _images(2)
     direct = jax.jit(make_serving_fn(model))(variables, x)
     assert direct.shape == (2, 33, 33)          # upsampled to input res
-    assert direct.dtype == jnp.int32
+    assert direct.dtype == jnp.uint8   # labels ship 1 byte/pixel
 
     exported = export_serving(model, variables, height=33, width=33,
                               batch=2, input_dtype=jnp.float32)
