@@ -3,7 +3,20 @@
 Measures SegEvaluator.update — flagship forward (fused-ASPP fast path)
 + bilinear logits upsample to label resolution (1024x2048x19, parity
 with `eval_valid_multiscale.py:229-230`) + argmax + void-masked
-confusion-matrix scatter — per image at Cityscapes full resolution.
+confusion-matrix scatter — per image at Cityscapes full resolution,
+for BOTH prediction paths:
+
+- default: XLA ``resize_bilinear`` -> argmax (reference-exact grid)
+- ``--fast-output``: the fused Pallas upsample+argmax kernel
+  (ops/pallas_upsample.py) that never materializes the 159 MB/image
+  full-res logits.
+
+Also audits the two paths against each other on the same (He-init,
+non-degenerate) logits: pixels whose argmax flips can only come from
+fp32 summation-order differences at near-exact ties, and the measured
+flip rate is printed alongside the timing.  The trained-checkpoint
+flip audit runs in tests/test_eval_cli.py (CPU, interpret mode).
+
 This is the wall-clock a user sees from `eval_valid_multiscale` minus
 host IO, complementing bench.py (model forward only).
 
@@ -24,14 +37,17 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from __graft_entry__ import _flagship
+    from __graft_entry__ import _flagship, synthetic_init
     from scaleprotoseg_tpu.eval.miou import SegEvaluator
 
     model, spec = _flagship(tiny=False, grouped=True, fast_aspp=True)
     shapes = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros((1, 129, 129, 3), jnp.bfloat16)),
         jax.random.PRNGKey(0))
-    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # He-scaled random params: realistic (non-tie) logits so the argmax
+    # and the flip audit are meaningful (all-zero params make every
+    # class logit equal — 100% ties)
+    variables = synthetic_init(shapes, seed=0)
 
     rng = np.random.default_rng(0)
     for batch in (1, 2):
@@ -39,20 +55,34 @@ def main():
                              jnp.bfloat16)
         targets = jnp.asarray(rng.integers(0, 20, (batch, 1024, 2048)),
                               jnp.int32)
-        ev = SegEvaluator(model, spec.num_classes)
-        ev.update(variables, images, targets)  # compile + warmup
-        ev.result()
-        iters = 8
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            ev.update(variables, images, targets)
-        ev._flush()  # updates dispatch async; sync before stopping clock
-        dt = time.perf_counter() - t0
+        results = {}
+        for fast_output in (False, True):
+            ev = SegEvaluator(model, spec.num_classes,
+                              fast_output=fast_output)
+            ev.update(variables, images, targets)  # compile + warmup
+            ev.result()
+            iters = 8
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                ev.update(variables, images, targets)
+            ev._flush()  # updates dispatch async; sync before the clock
+            dt = time.perf_counter() - t0
+            results[fast_output] = ev.cm.copy()
+            print(json.dumps({
+                "metric": "eval_step_1024x2048", "batch": batch,
+                "fast_output": fast_output,
+                "value": round(batch * iters / dt, 2),
+                "unit": "images/sec/chip",
+                "ms_per_image": round(dt / iters / batch * 1e3, 2),
+            }), flush=True)
+        # near-tie flip audit: each flipped pixel moves one count between
+        # confusion cells, so sum|dCM|/2 counts flips exactly
+        flips = float(np.abs(results[False] - results[True]).sum() / 2)
+        total = float(results[False].sum())
         print(json.dumps({
-            "metric": "eval_step_1024x2048", "batch": batch,
-            "value": round(batch * iters / dt, 2),
-            "unit": "images/sec/chip",
-            "ms_per_image": round(dt / iters / batch * 1e3, 2),
+            "metric": "fast_output_argmax_flips", "batch": batch,
+            "flipped_pixels": flips, "total_valid_pixels": total,
+            "flip_rate": round(flips / total, 8),
         }), flush=True)
 
 

@@ -55,7 +55,7 @@ class SegEvaluator:
 
     def __init__(self, model, num_classes: int,
                  upsample_logits: bool = True, mesh=None,
-                 proto_class=None):
+                 proto_class=None, fast_output: bool = False):
         self.num_classes = num_classes
         self.model = model
         self.upsample = upsample_logits
@@ -68,15 +68,38 @@ class SegEvaluator:
             # indices to the border and corrupt the curve
             raise ValueError(
                 "proto_class purity requires upsample_logits=True")
+        # fast_output: predict via the fused upsample+argmax Pallas
+        # kernel (ops/pallas_upsample.py) instead of materializing the
+        # full-res fp32 logits (159 MB/image at Cityscapes resolution).
+        # OPT-IN: the kernel equals argmax(separable-matmul upsample)
+        # bit-for-bit, but its fp32 summation ORDER differs from
+        # jax.image.resize's gather form, so near-tie pixels can flip —
+        # audited on trained checkpoints in benchmarks/bench_eval.py and
+        # tests/test_eval_cli.py (mismatch <=0.1% of pixels, |dmIoU|
+        # within noise).  Off-TPU the flag falls back to the XLA path
+        # unless SCALEPROTOSEG_FORCE_FAST_OUTPUT=interpret (test hook,
+        # same pattern as the fused ASPP's force env).
+        import os
+        force = os.environ.get("SCALEPROTOSEG_FORCE_FAST_OUTPUT", "")
+        self.fast_output = bool(fast_output and upsample_logits and (
+            jax.default_backend() == "tpu" or force))
+        interpret = force == "interpret"
 
         @jax.jit
         def step(variables, images, targets, rows, cols):
             out = model.apply(variables, images, train=False)
             logits = out.logits
-            if self.upsample:
-                logits = resize_bilinear(
-                    logits, targets.shape[1], targets.shape[2])
-            pred = jnp.argmax(logits, axis=-1)
+            if self.fast_output:
+                from scaleprotoseg_tpu.ops.pallas_upsample import (
+                    fused_upsample_argmax_sharded)
+                pred = fused_upsample_argmax_sharded(
+                    logits.astype(jnp.float32), targets.shape[1],
+                    targets.shape[2], interpret=interpret)
+            else:
+                if self.upsample:
+                    logits = resize_bilinear(
+                        logits, targets.shape[1], targets.shape[2])
+                pred = jnp.argmax(logits, axis=-1)
 
             purity = None
             if self.proto_class is not None:

@@ -96,6 +96,7 @@ def run_evaluation(model_name: str, training_phase: str,
                    data_root: Optional[str] = None,
                    results_root: Optional[str] = None,
                    fast: bool = True,
+                   fast_output: Optional[bool] = None,
                    shape_multiple: Optional[int] = None) -> dict:
     if shape_multiple is None and data_type == "ade":
         # ADE's aspect-preserving short-side-512 protocol yields ~100s of
@@ -152,10 +153,23 @@ def run_evaluation(model_name: str, training_phase: str,
     # (ref eval_valid_multiscale.py:255-269 loops every val image)
     # proto_class follows the distance layout (active prototypes only —
     # floor-division-leftover bank rows never appear in model outputs)
+    # fast_output routes the upsample+argmax through the fused Pallas
+    # kernel (never materializes full-res logits; 28.8 -> 27.6 ms/img at
+    # Cityscapes batch 2, benchmarks/bench_eval.py).  DEFAULT ON for TPU
+    # (None = auto): the kernel's fp32 summation order could in theory
+    # flip near-exact-tie argmax pixels vs the jax.image path, but the
+    # measured flip count is ZERO over 35.9M pixels of realistic logits
+    # on the chip and <=1e-3 is pinned on trained checkpoints
+    # (tests/test_eval_cli.py).  --exact-output forces the
+    # reference-exact XLA path (use it for the Zenodo mIoU-parity gate).
     evaluator = SegEvaluator(
         model, spec.num_classes, mesh=mesh,
+        fast_output=fast_output is not False,
         proto_class=np.argmax(
             spec.class_identity[:spec.num_active_prototypes], axis=1))
+    if fast_output and not evaluator.fast_output:
+        log("--fast-output requested but unavailable off-TPU; using the "
+            "XLA upsample path")
     # batch images of identical shape together (variable-size datasets
     # like ADE fall back to singleton shape buckets)
     pending_imgs, pending_anns, pending_shape = [], [], None
@@ -388,10 +402,21 @@ def main():
                    help="round variable eval shapes to this multiple "
                    "(fewer XLA compiles; default 64 for ade, exact "
                    "otherwise; 0 forces the reference-exact protocol)")
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--fast-output", dest="fast_output",
+                   action="store_true", default=None,
+                   help="fused Pallas upsample+argmax prediction path "
+                   "(default on TPU; 0 argmax flips measured over 35.9M "
+                   "pixels — benchmarks/bench_eval.py)")
+    g.add_argument("--exact-output", dest="fast_output",
+                   action="store_false",
+                   help="force the reference-exact XLA upsample path "
+                   "(the Zenodo mIoU-parity protocol)")
     a = p.parse_args()
     run_evaluation(a.model_name, a.training_phase, a.batch_size,
                    a.data_type, margin=a.margin, limit=a.limit,
-                   data_root=a.data_root, shape_multiple=a.shape_multiple)
+                   data_root=a.data_root, fast_output=a.fast_output,
+                   shape_multiple=a.shape_multiple)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,59 @@ def test_eval_valid_multiscale(trained_run):
     assert len(samples) >= 1
 
 
+def test_fast_output_audit_on_trained_checkpoint(trained_run, monkeypatch):
+    """--fast-output tie audit on REAL trained logits: the fused
+    upsample+argmax path (ops/pallas_upsample.py, interpret mode here)
+    must agree with the reference-parity XLA path on all but a vanishing
+    fraction of pixels, with an mIoU delta within noise.  The kernel is
+    bit-equal to argmax(separable-matmul upsample); flips vs the
+    jax.image gather form can only come from fp32 summation ORDER at
+    near-exact ties, which trained (non-random) logits rarely produce.
+    The full-split, real-TPU version of this audit lives in
+    benchmarks/bench_eval.py."""
+    monkeypatch.setenv("SCALEPROTOSEG_FORCE_FAST_OUTPUT", "interpret")
+    results, root = trained_run
+    from scaleprotoseg_tpu.constants import convert_targets
+    from scaleprotoseg_tpu.eval.miou import SegEvaluator, iou_from_confusion
+    from scaleprotoseg_tpu.eval_valid_multiscale import _prepare_image
+    from scaleprotoseg_tpu.model_loading import (load_model,
+                                                 resolve_checkpoint)
+
+    model_path = os.path.join(results, "shared_run")
+    ckpt = resolve_checkpoint(model_path, "push_final")
+    model, spec, variables = load_model(model_path, ckpt)
+
+    img_dir = os.path.join(root, "img_with_margin_0", "val")
+    ann_dir = os.path.join(root, "annotations", "val")
+    names = sorted(p[:-4] for p in os.listdir(img_dir)
+                   if p.endswith(".npy"))[:4]
+    imgs, anns = [], []
+    for n in names:
+        img = np.load(os.path.join(img_dir, n + ".npy"))
+        ann = np.load(os.path.join(ann_dir, n + ".npy"))
+        if ann.ndim == 3:
+            ann = ann[..., 0]
+        ann = convert_targets(ann, "em").astype(np.int32)
+        imgs.append(_prepare_image(img, ann.shape, "em"))
+        anns.append(ann)
+    images = np.stack(imgs).astype(np.float32)
+    targets = np.stack(anns)
+
+    ev_ref = SegEvaluator(model, spec.num_classes)
+    ev_fast = SegEvaluator(model, spec.num_classes, fast_output=True)
+    assert ev_fast.fast_output, "force env did not engage the fused path"
+    ev_ref.update(variables, images, targets)
+    ev_fast.update(variables, images, targets)
+    cm_r, cm_f = ev_ref.cm, ev_fast.cm
+    assert cm_r.sum() == cm_f.sum() > 0  # same valid-pixel universe
+    flips = np.abs(cm_r - cm_f).sum() / 2
+    total = cm_r.sum()
+    assert flips / total <= 1e-3, (flips, total)
+    _, miou_r, _ = iou_from_confusion(cm_r)
+    _, miou_f, _ = iou_from_confusion(cm_f)
+    assert abs(miou_r - miou_f) <= 2e-3, (miou_r, miou_f)
+
+
 def test_eval_test_png_export(trained_run, tmp_path):
     results, shared_root = trained_run
     # fabricate a test split in a per-test COPY of the dataset — the
