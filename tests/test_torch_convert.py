@@ -274,3 +274,113 @@ def test_scale_head_conversion_both_directions():
     for k in ("scale_head.output_layer.linear_block.0.weight",
               "scale_head.output_layer.linear_block.0.bias"):
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Full-depth conversion shape oracle (SURVEY §7 risks: the reconstructed
+# deeplab_pytorch submodule).  The reference's published checkpoints are
+# network-blocked here, but their tensor SURFACE is fully determined by
+# the reference code: `deeplab_features.py:63-68` (ResNet-101 (3,4,23,3)
+# DeepLabV2, deeplab_n_features=64), the ASPP head enumeration
+# `module_multiscale.py:398-407` (aspp.c0..c3, each (64, 2048, 3, 3)),
+# and `model_multiscale_group.py` (prototype bank, per-nonempty-class
+# group_projection ModuleList, packed last_layer_group).  These tests pin
+# that the FULL-DEPTH flagship param tree exports exactly that surface —
+# and that a checkpoint with exactly that surface converts onto exactly
+# our param tree — so the Zenodo chain can only fail on values, never
+# on names/shapes.
+# ---------------------------------------------------------------------------
+def _reference_flagship_manifest():
+    """Expected torch state-dict {name: shape} of the reference's
+    group_scaleproto_cityscapes checkpoint (ResNet-101, 228 prototypes,
+    19 classes, 4 scales, 3 groups, deeplab_simple add-on)."""
+    sd = {}
+
+    def convbn(prefix, cout, cin, k):
+        sd[f"{prefix}.conv.weight"] = (cout, cin, k, k)
+        sd[f"{prefix}.bn.weight"] = (cout,)
+        sd[f"{prefix}.bn.bias"] = (cout,)
+        sd[f"{prefix}.bn.running_mean"] = (cout,)
+        sd[f"{prefix}.bn.running_var"] = (cout,)
+        sd[f"{prefix}.bn.num_batches_tracked"] = ()
+
+    convbn("features.base.layer1.conv1", 64, 3, 7)
+    cin = 64
+    for li, (n_blocks, mid) in enumerate(
+            ((3, 64), (4, 128), (23, 256), (3, 512)), start=2):
+        cout = mid * 4
+        for b in range(1, n_blocks + 1):
+            p = f"features.base.layer{li}.block{b}"
+            convbn(f"{p}.reduce", mid, cin if b == 1 else cout, 1)
+            convbn(f"{p}.conv3x3", mid, mid, 3)
+            convbn(f"{p}.increase", cout, mid, 1)
+            if b == 1:
+                convbn(f"{p}.shortcut", cout, cin, 1)
+        cin = cout
+    for c in range(4):  # module_multiscale.py:398-407
+        sd[f"features.base.aspp.c{c}.weight"] = (64, 2048, 3, 3)
+        sd[f"features.base.aspp.c{c}.bias"] = (64,)
+
+    sd["prototype_vectors"] = (228, 64, 1, 1)
+    for k in range(19):  # one ModuleList entry per non-empty class
+        sd[f"group_projection.{k}.weight"] = (3, 12)
+    sd["last_layer_group.weight"] = (19, 57)  # (C, G * nonempty)
+    return sd
+
+
+def _flagship_shape_tree():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship
+
+    model, spec = _flagship(tiny=False, grouped=True, dtype=jnp.float32)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 513, 513, 3), jnp.float32)),
+        jax.random.PRNGKey(0))
+    return model, spec, shapes
+
+
+def test_full_depth_export_manifest_is_reference_surface():
+    """jax->torch: exporting the full ResNet-101 flagship tree enumerates
+    exactly the reference checkpoint's names and shapes."""
+    from scaleprotoseg_tpu.checkpoints.torch_convert import (
+        ppnet_params_to_statedict)
+
+    _, spec, shapes = _flagship_shape_tree()
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes,
+                         is_leaf=lambda v: hasattr(v, "shape"))
+    dropped = []
+    sd = ppnet_params_to_statedict(zeros["params"], zeros["batch_stats"],
+                                   spec, log=dropped.append)
+    assert not dropped, dropped
+    got = {k: tuple(np.shape(v)) for k, v in sd.items()}
+    want = _reference_flagship_manifest()
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got)), sorted(set(got) - set(want)))
+    bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not bad, bad
+
+
+def test_full_depth_import_fills_exact_param_tree():
+    """torch->jax: a state dict with exactly the reference surface maps
+    onto exactly the full-depth flagship variables (params + batch_stats),
+    leaf for leaf — nothing missing, nothing extra, every shape equal."""
+    from scaleprotoseg_tpu.checkpoints.torch_convert import (
+        ppnet_statedict_to_params)
+
+    _, spec, shapes = _flagship_shape_tree()
+    manifest = _reference_flagship_manifest()
+    sd = {k: np.zeros(s, np.float32) for k, s in manifest.items()}
+    params, stats = ppnet_statedict_to_params(sd, spec)
+
+    def flat(tree):
+        return {jax.tree_util.keystr(p): tuple(v.shape)
+                for p, v in jax.tree_util.tree_flatten_with_path(
+                    tree, is_leaf=lambda v: hasattr(v, "shape"))[0]}
+
+    got = flat({"params": params, "batch_stats": stats})
+    want = flat(shapes)
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:8], sorted(set(got) - set(want))[:8])
+    bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not bad, bad
