@@ -35,31 +35,38 @@ def find_continuous_high_activation_crop(activation_map: np.ndarray,
                                          patch_bbox, threshold: float,
                                          add_margin: int = 5):
     """Greedily grow the patch bbox while adjacent rows/cols stay above
-    threshold (ref helpers.py:53-87).  Returns end-exclusive bbox."""
-    start_h, end_h, start_w, end_w = tuple(int(v) for v in patch_bbox)
-    mask = (activation_map >= threshold)
-    h, w = activation_map.shape
-    stopped = [False] * 4
-    while not all(stopped):
-        if not stopped[0] and start_h > 0 and \
-                mask[start_h - 1, start_w:end_w + 1].any():
-            start_h -= 1
-        else:
-            stopped[0] = True
-        if not stopped[1] and end_h < h - 1 and \
-                mask[end_h + 1, start_w:end_w + 1].any():
-            end_h += 1
-        else:
-            stopped[1] = True
-        if not stopped[2] and start_w > 0 and \
-                mask[start_h:end_h + 1, start_w - 1].any():
-            start_w -= 1
-        else:
-            stopped[2] = True
-        if not stopped[3] and end_w < w - 1 and \
-                mask[start_h:end_h + 1, end_w + 1].any():
-            end_w += 1
-        else:
-            stopped[3] = True
-    return (max(start_h - add_margin, 0), min(end_h + add_margin, h - 1) + 1,
-            max(start_w - add_margin, 0), min(end_w + add_margin, w - 1) + 1)
+    threshold (behavioral parity with ref helpers.py:53-87).
+
+    Each sweep tries to advance the four frontiers in the reference's
+    order (top, bottom, left, right), one row/column at a time; a
+    frontier whose adjacent strip (taken over the CURRENT perpendicular
+    extent, inclusive) has no above-threshold pixel retires permanently,
+    even if later growth of the other axis would re-expose activation.
+    Returns an end-exclusive bbox with ``add_margin`` padding, clamped.
+    """
+    mask = np.asarray(activation_map) >= threshold
+    shape = mask.shape
+    # bounds[axis] = [low, high] inclusive; axis 0 = rows, axis 1 = cols
+    bounds = [[int(patch_bbox[0]), int(patch_bbox[1])],
+              [int(patch_bbox[2]), int(patch_bbox[3])]]
+    # frontier = (axis, side); side 0 grows toward 0, side 1 toward the
+    # edge.  Sweep order matters: the left/right strips are taken over
+    # the row extent ALREADY updated this sweep.
+    frontiers = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    live = set(frontiers)
+    while live:
+        for axis, side in frontiers:
+            if (axis, side) not in live:
+                continue
+            nxt = bounds[axis][side] + (1 if side else -1)
+            lo, hi = bounds[1 - axis]
+            strip = (mask[nxt, lo:hi + 1] if axis == 0
+                     else mask[lo:hi + 1, nxt]) \
+                if 0 <= nxt < shape[axis] else None
+            if strip is not None and strip.any():
+                bounds[axis][side] = nxt
+            else:
+                live.discard((axis, side))
+    (r0, r1), (c0, c1) = bounds
+    return (max(r0 - add_margin, 0), min(r1 + add_margin, shape[0] - 1) + 1,
+            max(c0 - add_margin, 0), min(c1 + add_margin, shape[1] - 1) + 1)
