@@ -37,6 +37,7 @@ def test_vgg_and_densenet_shapes():
     assert y.shape == (1, 2, 2, 1024)
 
 
+@pytest.mark.slow  # 24 s on 1 core; registry construction stays fast
 def test_deeplab_vgg_and_v3_output_stride_8():
     # ceil-mode pooling: 64 -> 9 at OS 8 (513 -> 65, the reference grid)
     y = _run(DeepLabVGG16(n_out=8, aspp_mode="concat"), size=64)

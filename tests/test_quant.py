@@ -104,6 +104,7 @@ def test_quant8_backbone_close_to_fp(tiny_pair):
     assert rel < 0.1, f"relative max err {rel}"
 
 
+@pytest.mark.slow  # 11 s on 1 core; op-level + param-tree quant tests stay fast
 def test_quant8_full_ppnet_serving_forward(rng):
     # the serving wiring: tiny flagship PPNet with the quantized
     # backbone, same variables as the fp model, label maps mostly agree

@@ -48,6 +48,36 @@ def test_segformer_optimizer_groups():
     assert set(encoder.values()) == {"features_conv"}
 
 
+def test_segformer_ppnet_structure():
+    """Fast twin of the e2e test: the assembled SegFormer-PPNet's output
+    shapes and param-tree surface via eval_shape (no MiT compile)."""
+    import scaleprotoseg_tpu.configlib as configlib
+    from scaleprotoseg_tpu.models.factory import construct_ppnet
+
+    configlib.clear_config()
+    configlib.parse_config("""
+segformer_features_multiscale.deeplab_n_features = 8
+segformer_features_multiscale.scales = []
+PPNetMultiScale.num_scales = 4
+PPNetMultiScale.patch_classification = True
+""")
+    model, spec = construct_ppnet(
+        variant="multiscale", base_architecture="segformer_multiscale",
+        pretrained=False, prototype_shape=(24, 8, 1, 1), num_classes=3,
+        add_on_layers_type="deeplab_simple")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.eval_shape(
+        lambda k: model.init(k, x), jax.random.PRNGKey(0))
+    out = jax.eval_shape(
+        lambda v: model.apply(v, x, train=False), variables)
+    assert out.logits.shape == (1, 8, 8, 3)
+    assert out.distances.shape == (1, 8, 8, 24)
+    assert {"backbone", "prototype_vectors", "last_layer"} <= \
+        set(variables["params"].keys())
+    configlib.clear_config()
+
+
+@pytest.mark.slow  # ~40 s MiT compile on 1 core; structure twin above
 def test_segformer_ppnet_end_to_end():
     import scaleprotoseg_tpu.configlib as configlib
     from scaleprotoseg_tpu.models.factory import construct_ppnet

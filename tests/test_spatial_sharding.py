@@ -22,8 +22,11 @@ def test_height_sharded_forward_matches_unsharded(rng):
     model = PPNet(backbone=DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1),
                                      aspp_mode="concat"),
                   spec=spec, backbone_channels=32)
-    # height 128 -> 16 rows per device on the 8-device mesh
-    x = jnp.asarray(rng.standard_normal((1, 128, 65, 3)), jnp.float32)
+    # 2-device mesh keeps the halo-exchange partitioning (the property
+    # under test) at a fraction of the 8-way SPMD compile cost on this
+    # 1-core host; the full-depth 8-device 2D leg runs in
+    # dryrun_multichip every round.  Height 64 -> 32 rows per device.
+    x = jnp.asarray(rng.standard_normal((1, 64, 65, 3)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
 
     @jax.jit
@@ -32,7 +35,7 @@ def test_height_sharded_forward_matches_unsharded(rng):
 
     expected = np.asarray(forward(variables, x))
 
-    mesh = create_mesh()
+    mesh = create_mesh(n_devices=2)
     xs = jax.device_put(x, spatial_sharding(mesh))
     got = forward(variables, xs)
     assert len(got.sharding.device_set) >= 1  # ran under SPMD

@@ -61,7 +61,12 @@ def _batch(rng, b=2):
 
 
 @pytest.mark.parametrize("variant,phase", [
-    ("multiscale", 0), ("multiscale", 1), ("multiscale", 2)])
+    ("multiscale", 0),
+    # joint phase: 33 s on 1 core (full-backbone backward compile);
+    # joint freeze/movement is pinned exactly by the fast group-phase
+    # trajectory parity test, so only the warmup/last phases stay fast
+    pytest.param("multiscale", 1, marks=pytest.mark.slow),
+    ("multiscale", 2)])
 def test_proto_phases_step_and_freeze(rng, variant, phase):
     model, spec, variables = _build()
     state, step = _make_state_and_step(model, spec, variables, variant,
@@ -163,7 +168,12 @@ def test_gradient_accumulation_matches_large_batch(rng):
         np.array(state2.params["last_layer"]), rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("grouped", [False, True])
+@pytest.mark.parametrize("grouped", [
+    False,
+    # the grouped pyramid adds ~10 s of compile on top of [False];
+    # grouped step machinery is fast-covered by test_group_phases and
+    # the group trajectory parity test
+    pytest.param(True, marks=pytest.mark.slow)])
 def test_msc_pyramid_train_step(rng, grouped):
     """Pascal/COCO path: MSC input pyramid -> list of outputs; the loss
     averages across them (ref module_multiscale.py:216-277); also the
@@ -236,15 +246,15 @@ def test_remat_step_matches_plain(rng):
                                atol=1e-7)
 
 
-def test_phase_trainer_perf_knobs(tmp_path, rng):
+def test_phase_trainer_perf_knobs(tmp_path):
     """train.compute_dtype / train.fast_aspp / train.remat gin knobs:
-    the trainer swaps the model's compute dtype, engages remat, and a
-    step still runs (fast_aspp only engages on TPU — here it just sets
-    the flag)."""
+    the trainer swaps the model's compute dtype, sets the fused-ASPP
+    flag, and arms remat (fast profile checks the plumbing only; the
+    bf16+remat step execution is the slow twin below)."""
     from scaleprotoseg_tpu import configlib
     from scaleprotoseg_tpu.train.runner import PhaseTrainer, module_hparams
 
-    model, spec, variables = _build()
+    model, spec, _ = _build()
     configlib.clear_config()
     configlib.parse_config("""
 train.compute_dtype = 'bfloat16'
@@ -260,6 +270,28 @@ PatchClassificationModuleMultiScale.loss_weight_kld = 0.25
         assert trainer.model.backbone.dtype == jnp.bfloat16
         assert trainer.model.backbone.fast_aspp is True
         assert trainer.remat is True
+    finally:
+        configlib.clear_config()
+
+
+@pytest.mark.slow  # bf16+remat train-step compile (~20 s on 1 core)
+def test_phase_trainer_perf_knobs_step_runs(tmp_path, rng):
+    """The bf16 + remat train step actually compiles and executes."""
+    from scaleprotoseg_tpu import configlib
+    from scaleprotoseg_tpu.train.runner import PhaseTrainer, module_hparams
+
+    model, spec, variables = _build()
+    configlib.clear_config()
+    configlib.parse_config("""
+train.compute_dtype = 'bfloat16'
+train.fast_aspp = True
+train.remat = True
+PatchClassificationModuleMultiScale.loss_weight_kld = 0.25
+""")
+    try:
+        mhp = module_hparams("multiscale")
+        trainer = PhaseTrainer(model, spec, "multiscale", str(tmp_path),
+                               mhp, log=lambda *a: None)
 
         class OneBatchLoader(list):
             pass
