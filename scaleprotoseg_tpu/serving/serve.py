@@ -104,13 +104,23 @@ def _make_preprocess(input_dir: str, margin: int = 0,
 
 
 def run_serving(predict, names, preprocess, out_dir: str,
-                batch_size: int, workers: int = 2, sizes=None) -> dict:
-    """Stream ``names`` through ``predict``; save PNGs; return stats.
+                batch_size: int, workers: int = 2, sizes=None,
+                writers: int = 2, raw_output: bool = False) -> dict:
+    """Stream ``names`` through ``predict``; save predictions; stats.
 
     Timing starts after a one-batch warmup (compile/cache-load excluded
     — serving steady-state is the metric) and covers the full pipeline
-    including host decode and PNG writes.
+    including host decode and prediction writes.
+
+    Writes run in their own thread pool (``writers``): the engine's
+    consumer loop must never stall the generator, or the decode/compute
+    pipeline behind it drains — PNG encode of a 1024x2048 label is
+    ~21 ms/img (benchmarks/bench_input.py), ~70% of the device step.
+    ``raw_output`` saves ``.npy`` label arrays instead of PNGs (a plain
+    memcpy to disk, ~20x cheaper — for pipelines that consume arrays).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     from scaleprotoseg_tpu.serving.engine import ServingEngine
@@ -118,19 +128,33 @@ def run_serving(predict, names, preprocess, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     engine = ServingEngine(predict, batch_size, preprocess=preprocess,
                            workers=workers)
+
+    def write_one(name, pred):
+        stem = os.path.splitext(name)[0]
+        if sizes is not None and name in sizes:
+            h, w = sizes[name]
+            pred = pred[:h, :w]
+        if raw_output:
+            np.save(os.path.join(out_dir, f"{stem}.npy"),
+                    pred.astype(np.uint8))
+        else:
+            Image.fromarray(pred.astype(np.uint8)).convert("L").save(
+                os.path.join(out_dir, f"{stem}.png"))
+
     # warmup: compile + one full pipeline pass on the first batch
     for _ in engine.run((n, n) for n in names[:batch_size]):
         pass
     t0 = time.perf_counter()
     count = 0
-    for name, pred in engine.run((n, n) for n in names):
-        stem = os.path.splitext(name)[0]
-        if sizes is not None and name in sizes:
-            h, w = sizes[name]
-            pred = pred[:h, :w]
-        Image.fromarray(pred.astype(np.uint8)).convert("L").save(
-            os.path.join(out_dir, f"{stem}.png"))
-        count += 1
+    with ThreadPoolExecutor(max(1, writers)) as pool:
+        pending = []
+        for name, pred in engine.run((n, n) for n in names):
+            pending.append(pool.submit(write_one, name, pred))
+            count += 1
+            if len(pending) > 2 * writers:   # bound memory; surface errors
+                pending.pop(0).result()
+        for fut in pending:
+            fut.result()
     dt = time.perf_counter() - t0
     return {"images": count, "seconds": round(dt, 3),
             "img_per_s": round(count / dt, 3) if dt else None,
@@ -153,7 +177,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--canvas", type=int, nargs=2, metavar=("H", "W"),
                    help="serve mixed-size images: pad each to HxW (one "
                    "compiled program), crop predictions back per image")
-    p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--workers", type=int, default=2,
+                   help="decode/preprocess threads")
+    p.add_argument("--writers", type=int, default=2,
+                   help="prediction-write threads (PNG encode is "
+                   "~21 ms/img at 1024x2048 — serial writes would "
+                   "stall the pipeline)")
+    p.add_argument("--raw-output", action="store_true",
+                   help="write .npy label arrays instead of PNGs "
+                   "(~20x cheaper on the host)")
     p.add_argument("--results-root", help="override settings results dir")
     p.add_argument("--host-preprocess", action="store_true",
                    help="normalize on the host (fp32) instead of the "
@@ -294,7 +326,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
     cast = lambda name: np.asarray(  # noqa: E731
         preprocess(name), wire_dtype)
     record = run_serving(predict, names, cast, out_dir, batch,
-                         workers=args.workers, sizes=sizes)
+                         workers=args.workers, sizes=sizes,
+                         writers=args.writers, raw_output=args.raw_output)
     record["preprocess"] = "device" if device_pre else "host"
     print(json.dumps(record))
     return record

@@ -480,3 +480,41 @@ def test_serve_cli_artifact_path(tiny, tmp_path, capsys):
     from PIL import Image
     arr = np.asarray(Image.open(os.path.join(out_dir, "frame_0.png")))
     assert arr.shape == (33, 33) and arr.max() < spec.num_classes
+
+
+def test_serve_cli_raw_output_and_writer_pool(tiny, tmp_path):
+    """--raw-output writes .npy label arrays; the threaded writer pool
+    (--writers) must preserve per-name content exactly vs the PNG path
+    (writes are independent per item, so pooling cannot reorder data —
+    only the filesystem timing)."""
+    import scaleprotoseg_tpu.model_loading as ml
+    import scaleprotoseg_tpu.serving.serve as serve_mod
+    from PIL import Image
+
+    model, spec, variables = tiny
+    in_dir = tmp_path / "images"
+    in_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        np.save(in_dir / f"f{i}.npy",
+                rng.integers(0, 256, size=(33, 33, 3)).astype(np.uint8))
+
+    orig_load, orig_resolve = ml.load_model, ml.resolve_checkpoint
+    ml.load_model = lambda *a, **k: (model, spec, variables)
+    ml.resolve_checkpoint = lambda *a: "ckpt"
+    try:
+        rec_png = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--output", str(tmp_path / "p_png"), "--batch", "2",
+             "--writers", "3", "--results-root", str(tmp_path)])
+        rec_raw = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--output", str(tmp_path / "p_raw"), "--batch", "2",
+             "--raw-output", "--results-root", str(tmp_path)])
+        assert rec_png["images"] == rec_raw["images"] == 5
+        for i in range(5):
+            png = np.asarray(Image.open(tmp_path / "p_png" / f"f{i}.png"))
+            raw = np.load(tmp_path / "p_raw" / f"f{i}.npy")
+            np.testing.assert_array_equal(png, raw)
+    finally:
+        ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
