@@ -14,6 +14,8 @@ arms:
   bf16        model dtype bfloat16 (params stay fp32; conv/matmul
               compute + activations in bf16)
   bf16_fast   bf16 + the fused Pallas ASPP fwd/VJP (train.fast_aspp)
+  bf16_full   bf16_fast + the shifted-matmul conv backward
+              (train.fast_gradconv) — the full shipped TPU recipe
 
 and reports, per arm: per-step loss curve stats, wall ms/step, final
 held-out masked CE + pixel accuracy, and param drift vs the fp32 arm
@@ -116,11 +118,12 @@ def main():
                                                    num_classes)))
             for _ in range(4)]
 
-    def run_arm(name, dtype, fast_aspp):
+    def run_arm(name, dtype, fast_aspp, fast_gradconv=False):
         model = dataclasses.replace(
             model32, dtype=dtype,
             backbone=dataclasses.replace(model32.backbone, dtype=dtype,
-                                         fast_aspp=fast_aspp))
+                                         fast_aspp=fast_aspp,
+                                         fast_gradconv=fast_gradconv))
         groups = phase_groups("multiscale", 1, mhp["hp"])
         trainable, _ = partition_params(variables0["params"], set(groups))
         tx = make_phase_optimizer(groups, label_params(trainable),
@@ -177,17 +180,19 @@ def main():
             "held_pixel_acc": round(held_acc, 4),
         }, losses
 
-    arms = [("fp32", jnp.float32, False),
-            ("bf16", jnp.bfloat16, False),
-            ("bf16_fast", jnp.bfloat16, True)]
+    arms = [("fp32", jnp.float32, False, False),
+            ("bf16", jnp.bfloat16, False, False),
+            ("bf16_fast", jnp.bfloat16, True, False),
+            ("bf16_full", jnp.bfloat16, True, True)]
     states, recs, curves = {}, {}, {}
-    for name, dtype, fast in arms:
-        states[name], recs[name], curves[name] = run_arm(name, dtype, fast)
+    for name, dtype, fast, fast_gc in arms:
+        states[name], recs[name], curves[name] = run_arm(
+            name, dtype, fast, fast_gc)
         print(json.dumps(recs[name]), flush=True)
 
     # param drift vs the fp32 arm, relative L2 per top-level group
     ref = jax.device_get(states["fp32"].params)
-    for name in ("bf16", "bf16_fast"):
+    for name in ("bf16", "bf16_fast", "bf16_full"):
         got = jax.device_get(states[name].params)
         drift = {}
         for key in ref:

@@ -28,7 +28,8 @@ CONFIGS = ("scaleproto_cityscapes", "scaleproto_pascal", "scaleproto_ade",
            "group_scaleproto_ade")
 
 
-def bench_config(name: str, iters: int = 8) -> dict:
+def bench_config(name: str, iters: int = 8, fast_gradconv: bool = False,
+                 fast_aspp: bool = False, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -64,6 +65,19 @@ def bench_config(name: str, iters: int = 8) -> dict:
     else:
         model, spec = construct_PPNet(variant=variant, pretrained=False,
                                       dtype=jnp.bfloat16)
+    if fast_gradconv or fast_aspp:
+        # the TPU training recipe knobs (train.fast_gradconv /
+        # train.fast_aspp in PhaseTrainer)
+        import dataclasses
+        brepl = {}
+        if fast_gradconv and hasattr(model.backbone, "fast_gradconv"):
+            brepl["fast_gradconv"] = True
+        if fast_aspp and hasattr(model.backbone, "fast_aspp"):
+            brepl["fast_aspp"] = True
+        if brepl:
+            model = dataclasses.replace(
+                model, backbone=dataclasses.replace(model.backbone,
+                                                    **brepl))
     window = configlib.query("PatchClassificationDataset", "window_size",
                              (513, 513))
     h, w = int(window[0]), int(window[1])
@@ -88,7 +102,7 @@ def bench_config(name: str, iters: int = 8) -> dict:
     step = make_train_step(model, spec, tx, set(groups), mhp["weights"],
                            ignore_void=mhp["ignore_void_class"],
                            project_group_simplex=(variant == "group"),
-                           donate=False)
+                           donate=False, remat=remat)
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((batch, h, w, 3)), jnp.bfloat16)
@@ -97,6 +111,8 @@ def bench_config(name: str, iters: int = 8) -> dict:
 
     record = {
         "metric": f"{name}_joint_train_step",
+        "knobs": {"fast_gradconv": fast_gradconv, "fast_aspp": fast_aspp,
+                  "remat": remat},
         "batch": batch, "window": [h, w],
         "num_prototypes": spec.num_prototypes,
         "num_classes": spec.num_classes,
@@ -143,11 +159,20 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--configs", default=",".join(CONFIGS))
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--fast-gradconv", action="store_true",
+                   help="shifted-matmul backward for dilated layer4/5 "
+                   "convs (train.fast_gradconv)")
+    p.add_argument("--fast-aspp", action="store_true",
+                   help="fused Pallas ASPP fwd+VJP (train.fast_aspp)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialized backward (train.remat)")
     a = p.parse_args()
     for name in a.configs.split(","):
         try:
-            print(json.dumps(bench_config(name.strip(), iters=a.iters)),
-                  flush=True)
+            print(json.dumps(bench_config(
+                name.strip(), iters=a.iters,
+                fast_gradconv=a.fast_gradconv, fast_aspp=a.fast_aspp,
+                remat=a.remat)), flush=True)
         except Exception as e:
             print(json.dumps({"metric": name, "error": str(e)[:300]}),
                   flush=True)

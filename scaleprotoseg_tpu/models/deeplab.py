@@ -42,6 +42,7 @@ class Bottleneck(nn.Module):
     shortcut: bool
     dtype: jnp.dtype = jnp.float32
     quant8: bool = False
+    fast_grad: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -50,7 +51,7 @@ class Bottleneck(nn.Module):
                    name="reduce")(x, train_bn)
         h = ConvBN(self.mid, (3, 3), dilation=(self.dilation,) * 2,
                    dtype=self.dtype, quant8=self.quant8,
-                   name="conv3x3")(h, train_bn)
+                   fast_grad=self.fast_grad, name="conv3x3")(h, train_bn)
         h = ConvBN(self.out, (1, 1), relu=False, dtype=self.dtype,
                    quant8=self.quant8, name="increase")(h, train_bn)
         if self.shortcut:
@@ -70,6 +71,7 @@ class ResLayer(nn.Module):
     dilation: int
     dtype: jnp.dtype = jnp.float32
     quant8: bool = False
+    fast_grad: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -78,6 +80,7 @@ class ResLayer(nn.Module):
                            stride=self.stride if i == 0 else 1,
                            dilation=self.dilation, shortcut=(i == 0),
                            dtype=self.dtype, quant8=self.quant8,
+                           fast_grad=self.fast_grad,
                            name=f"block{i + 1}")(x, train_bn)
         return x
 
@@ -252,6 +255,13 @@ class DeepLabV2(nn.Module):
     # (load_model and make_serving_fn enforce the fully-XLA path).
     # Identical param tree either way; any checkpoint loads.
     quant8: bool = False
+    # shifted-matmul custom-VJP backward for the DILATED 3x3 convs
+    # (layer4/5 conv3x3 — where XLA's grad-conv lowering measures 2-4x
+    # below the matmul form, benchmarks/bench_gradconv.py).  Forward
+    # numerics identical (same conv op); a training-speed knob
+    # (`train.fast_gradconv`).  The d=1 convs in layer2/3 stay on
+    # XLA's lowering, which is already at its roofline there.
+    fast_gradconv: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -268,9 +278,13 @@ class DeepLabV2(nn.Module):
         x = ResLayer(self.n_blocks[1], ch[1], ch[3], 2, 1,
                      dtype=self.dtype, name="layer3")(x, train_bn)
         x = ResLayer(self.n_blocks[2], ch[2], ch[4], 1, 2,
-                     dtype=self.dtype, quant8=q8, name="layer4")(x, train_bn)
+                     dtype=self.dtype, quant8=q8,
+                     fast_grad=self.fast_gradconv,
+                     name="layer4")(x, train_bn)
         x = ResLayer(self.n_blocks[3], ch[3], ch[5], 1, 4,
-                     dtype=self.dtype, quant8=q8, name="layer5")(x, train_bn)
+                     dtype=self.dtype, quant8=q8,
+                     fast_grad=self.fast_gradconv,
+                     name="layer5")(x, train_bn)
         return ASPP(self.n_out, self.atrous_rates, self.aspp_mode,
                     dtype=self.dtype, fast=self.fast_aspp,
                     name="aspp")(x)

@@ -62,6 +62,25 @@ class _QuantConv(nn.Module):
                                  out_dtype=self.dtype)
 
 
+class _FastGradConv(nn.Module):
+    """nn.Conv-compatible params (``kernel`` HWIO, no bias), computed by
+    ``ops.gradconv.conv3x3_dilated`` — the same forward conv with a
+    shifted-matmul custom-VJP backward (2-4x XLA's dilated grad-conv
+    lowering on v5e; exact math, measured in bench_gradconv.py)."""
+
+    features: int
+    dilation: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from scaleprotoseg_tpu.ops.gradconv import conv3x3_dilated
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features))
+        return conv3x3_dilated(x.astype(self.dtype),
+                               kernel.astype(self.dtype), self.dilation)
+
+
 class ConvBN(nn.Module):
     """Conv -> BatchNorm -> optional ReLU (torch _ConvBnReLU equivalent).
 
@@ -70,6 +89,9 @@ class ConvBN(nn.Module):
     ``quant8=True`` (inference serving) computes the conv in dynamic
     w8a8 int8 on the MXU (identical param tree; measured perf caveats
     in ops/quant.py — a memory/accuracy knob, not a speed win).
+    ``fast_grad=True`` (3x3 stride-1 dilated convs only) swaps in the
+    shifted-matmul backward (`ops/gradconv.py`) — a training-speed
+    knob; forward numerics are identical (same conv op).
     """
 
     features: int
@@ -81,6 +103,7 @@ class ConvBN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False
     quant8: bool = False
+    fast_grad: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -103,6 +126,12 @@ class ConvBN(nn.Module):
             x = _QuantConv(self.features, self.kernel_size,
                            strides=self.strides, dilation=self.dilation,
                            padding=pad, dtype=self.dtype, name="conv")(x)
+        elif (self.fast_grad and self.kernel_size == (3, 3)
+              and self.strides == (1, 1)
+              and self.dilation[0] == self.dilation[1]
+              and pad == [(self.dilation[0],) * 2] * 2):
+            x = _FastGradConv(self.features, self.dilation[0],
+                              dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(self.features, self.kernel_size,
                         strides=self.strides,

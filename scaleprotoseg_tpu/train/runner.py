@@ -102,6 +102,10 @@ class PhaseTrainer:
                                           benchmarks/bench_backward.py)
       train.remat = True                 # rematerialized backward
                                           (faster AND smaller on v5e)
+      train.fast_gradconv = True         # shifted-matmul custom-VJP
+                                          backward for the dilated
+                                          layer4/5 convs (2-4x XLA's
+                                          grad-conv, bench_gradconv.py)
     """
 
     def __init__(self, model, spec, variant: str, model_dir: str,
@@ -109,12 +113,15 @@ class PhaseTrainer:
         self.remat = bool(configlib.query("train", "remat", False))
         dt_name = configlib.query("train", "compute_dtype", None)
         fast = bool(configlib.query("train", "fast_aspp", False))
-        if dt_name or fast:
+        fast_gc = bool(configlib.query("train", "fast_gradconv", False))
+        if dt_name or fast or fast_gc:
             repl = {}
             if dt_name:
                 repl["dtype"] = {"bfloat16": jnp.bfloat16,
                                  "float32": jnp.float32}[dt_name]
             brepl = dict(repl)
+            if fast_gc and hasattr(model.backbone, "fast_gradconv"):
+                brepl["fast_gradconv"] = True
             if fast and hasattr(model.backbone, "fast_aspp"):
                 # the fused kernel computes in bf16 and the ASPP module
                 # only takes the fast branch at dtype==bfloat16
@@ -131,6 +138,7 @@ class PhaseTrainer:
                 backbone=dataclasses.replace(model.backbone, **brepl))
             log(f"TPU perf knobs: compute_dtype={dt_name or 'default'} "
                 f"fast_aspp={brepl.get('fast_aspp', False)} "
+                f"fast_gradconv={brepl.get('fast_gradconv', False)} "
                 f"remat={self.remat}")
         self.model = model
         self.spec = spec
