@@ -14,6 +14,14 @@ shape (bf16, 513x513, batch 2) into measured variants:
   step_remat      full step with the backbone rematerialized
                   (jax.checkpoint; trades HBM for recompute)
 
+Round-4 additions at the shipped TPU recipe point (fast_aspp +
+fast_gradconv):
+  step_recipe          the full recipe step (the 38.8 ms headline)
+  grads_recipe         grads only, no optimizer update (isolates the
+                       Adam/multi-transform update + param write cost)
+  step_recipe_headonly head-only grads under the recipe (isolates the
+                       backbone backward residue for the next kernel)
+
 Each line carries XLA cost-analysis FLOPs so ms translate to TFLOP/s.
 Run on the real TPU chip: python benchmarks/bench_backward.py
 """
@@ -134,6 +142,43 @@ def main():
         model, weights, trainable_only={"prototypes"})
     timed("step_headonly", lambda s, i, t: step_h(s, i, t)[1]["loss"],
           state_h, img, tgt)
+
+    # 5b. round-4 recipe-point decomposition
+    recipe_model = dataclasses.replace(
+        model, backbone=dataclasses.replace(model.backbone,
+                                            fast_aspp=True,
+                                            fast_gradconv=True))
+    state_rc, step_rc = build_state_step(recipe_model, weights)
+    timed("step_recipe", lambda s, i, t: step_rc(s, i, t)[1]["loss"],
+          state_rc, img, tgt)
+    state_rh, step_rh = build_state_step(
+        recipe_model, weights, trainable_only={"prototypes"})
+    timed("step_recipe_headonly",
+          lambda s, i, t: step_rh(s, i, t)[1]["loss"], state_rh, img, tgt)
+
+    groups_rc = phase_groups("multiscale", 1, mhp["hp"])
+
+    @jax.jit
+    def grads_recipe(state, img, tgt):
+        from scaleprotoseg_tpu.train.optim import merge_params
+        trainable, frozen = partition_params(state.params, set(groups_rc))
+
+        def loss_fn(trainable_p):
+            params = merge_params(trainable_p, frozen)
+            v = {"params": params}
+            if state.batch_stats is not None:
+                v["batch_stats"] = state.batch_stats
+            outputs = recipe_model.apply(v, img, train=True)
+            loss, _ = compute_losses(recipe_model, spec, params, outputs,
+                                     tgt, weights, True)
+            return loss
+
+        g = jax.grad(loss_fn)(trainable)
+        # reduce over EVERY leaf: returning one element would let XLA
+        # dead-code-eliminate the rest of the backward
+        return sum(jnp.vdot(l, l) for l in jax.tree.leaves(g))
+
+    timed("grads_recipe", grads_recipe, state_rc, img, tgt)
 
     # 6. remat the backbone
     remat_backbone = jax.checkpoint(

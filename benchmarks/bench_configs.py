@@ -140,9 +140,30 @@ def bench_config(name: str, iters: int = 8, fast_gradconv: bool = False,
         return metrics["loss"]
 
     rate = time_fn_pipelined(one, state, img, tgt, iters=iters)
-    record["value"] = round(1e3 / rate, 2)
+    record["ms_step_nondonated"] = round(1e3 / rate, 2)
+
+    # headline: the PRODUCTION path — donate=True with the state
+    # threaded through the loop exactly as train/runner.py runs it
+    # (donate=False forces XLA to preserve the ~0.7 GB param+opt
+    # argument buffers with copies; measured ~3 ms/step slower)
+    import time as _time
+    step_d = make_train_step(model, spec, tx, set(groups), mhp["weights"],
+                             ignore_void=mhp["ignore_void_class"],
+                             project_group_simplex=(variant == "group"),
+                             donate=True, remat=remat)
+    state_d = jax.tree.map(jnp.copy, state)
+    n_steps = max(4 * iters, 24)
+    state_d, m = step_d(state_d, img, tgt)
+    jax.device_get(m["loss"])                        # compile + sync
+    t0 = _time.perf_counter()
+    for _ in range(n_steps):
+        state_d, m = step_d(state_d, img, tgt)
+    jax.device_get(m["loss"])                        # sync the chain
+    ms = (_time.perf_counter() - t0) / n_steps * 1e3
+    record["value"] = round(ms, 2)
     record["unit"] = "ms/step"
-    record["img_per_s"] = round(batch * rate, 2)
+    record["img_per_s"] = round(batch * 1e3 / ms, 2)
+    rate = 1e3 / ms
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):

@@ -100,8 +100,13 @@ class PhaseTrainer:
       train.fast_aspp = True             # fused Pallas ASPP fwd + VJP
                                           (measured -16% step time,
                                           benchmarks/bench_backward.py)
-      train.remat = True                 # rematerialized backward
-                                          (faster AND smaller on v5e)
+      train.remat = True                 # rematerialized backward —
+                                          a MEMORY knob: ~time-neutral
+                                          alone, but it regresses the
+                                          full recipe (it recomputes
+                                          the custom-VJP forward convs:
+                                          45.7 vs 38.8 ms, bench_configs)
+                                          so leave it off unless HBM-bound
       train.fast_gradconv = True         # shifted-matmul custom-VJP
                                           backward for the dilated
                                           layer4/5 convs (2-4x XLA's

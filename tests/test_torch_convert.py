@@ -126,6 +126,34 @@ def test_backbone_conversion_numerical_parity():
     np.testing.assert_allclose(got, exp, rtol=2e-4, atol=2e-4)
 
 
+def test_backbone_conversion_numerical_parity_full_depth():
+    """The flagship-depth (3,4,23,3) analog of the tiny parity test:
+    the definitive numerical oracle that the reconstructed submodule
+    (SURVEY §7 risks; `segmentation/model/deeplab_features.py`) and the
+    layout transposes hold at ResNet-101 depth, not just at (1,1,1,1) —
+    complements the shape-manifest oracle with real values."""
+    torch.manual_seed(0)
+    tmodel = build_torch_deeplab(n_blocks=(3, 4, 23, 3), n_out=64)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = deeplab_statedict_to_backbone(sd)
+
+    jmodel = DeepLabV2(n_out=64, n_blocks=(3, 4, 23, 3),
+                       aspp_mode="concat")
+    x = np.random.default_rng(0).standard_normal(
+        (1, 65, 65, 3)).astype(np.float32)
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, stats)}
+    got = np.asarray(jmodel.apply(variables, jnp.asarray(x)))
+
+    with torch.no_grad():
+        exp = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    exp = exp.permute(0, 2, 3, 1).numpy()
+    assert got.shape == exp.shape, (got.shape, exp.shape)
+    # 101 layers of fp32 accumulation-order drift: slightly looser tol
+    np.testing.assert_allclose(got, exp, rtol=1e-3, atol=1e-3)
+
+
 def test_torchvision_key_remap_examples():
     # exact examples from the reference remap (deeplab_features.py:18-60)
     assert torchvision_key_to_deeplab("conv1.weight") == \
