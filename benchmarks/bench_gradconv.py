@@ -161,7 +161,12 @@ def main():
                 ("dgrad_xla", chain_dgrad_xla, (x, wk, dy)),
                 ("wgrad_mm", chain_wgrad_mm, (x, dy)),
                 ("dgrad_mm", chain_dgrad_mm, (dy, wk))):
-            fn = jax.jit(fn)
+            import jax.numpy as jnp
+            # scalar on-device reduce: syncing on the raw chain output
+            # would drag MBs through the tunnel and skew rates by the
+            # arms' differing output sizes
+            fn = jax.jit(lambda *a, f=fn: jnp.sum(f(*a).astype(
+                jnp.float32)))
             rate = time_fn_pipelined(fn, *args, iters=10) * CHAIN
             ms = 1e3 / rate
             print(json.dumps({

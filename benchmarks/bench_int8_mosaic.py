@@ -120,7 +120,10 @@ def main():
     for tag, fn, args in (("mosaic_int8", chain8, (a8, b8)),
                           ("mosaic_bf16", chain16, (a16, b16)),
                           ("xla_bf16", chain16_xla, (a16, b16))):
-        r = time_fn_pipelined(jax.jit(fn), *args, iters=10) * CHAIN
+        # scalar reduce before sync: raw outputs differ in wire bytes
+        # (int8 vs bf16) and would skew the tunnel-fetch overhead
+        g = jax.jit(lambda *a, f=fn: jnp.sum(f(*a).astype(jnp.float32)))
+        r = time_fn_pipelined(g, *args, iters=10) * CHAIN
         rates[tag] = r
         print(json.dumps({
             "metric": f"mm_{tag}", "ms": round(1e3 / r, 3),
@@ -164,8 +167,12 @@ def main():
                 x = conv(x, wk, d).astype(jnp.bfloat16)
             return x
 
-        r8 = time_fn_pipelined(jax.jit(chain_i8), x8, w8, iters=10) * 8
-        rb = time_fn_pipelined(jax.jit(chain_bf), xb, wb, iters=10) * 8
+        g8 = jax.jit(lambda a, b: jnp.sum(chain_i8(a, b).astype(
+            jnp.float32)))
+        gb = jax.jit(lambda a, b: jnp.sum(chain_bf(a, b).astype(
+            jnp.float32)))
+        r8 = time_fn_pipelined(g8, x8, w8, iters=10) * 8
+        rb = time_fn_pipelined(gb, xb, wb, iters=10) * 8
         print(json.dumps({
             "metric": f"{name}_conv_int8_vs_bf16",
             "int8_ms": round(1e3 / r8, 3), "bf16_ms": round(1e3 / rb, 3),

@@ -34,10 +34,48 @@ def resolve_checkpoint(model_path: str, training_phase: str) -> str:
                         f"{training_phase}_last.ckpt")
 
 
+def calibrate_quant_scales(model, variables: Dict, batches,
+                           log=None) -> Dict:
+    """Post-training-quantization calibration for ``quant8='static'``.
+
+    Runs the FULL-PRECISION forward over ``batches`` (iterable of
+    normalized (B, H, W, 3) arrays in the model's input space) with the
+    ``quant_scales`` collection mutable: every static ``_QuantConv``
+    site folds ``max|x| / 127`` into its running scale
+    (`models/layers.py`).  Returns ``variables`` with the calibrated
+    ``quant_scales`` collection added — ship these with the serving
+    artifact (``serving.export.save_artifact`` persists them).
+
+    Standard PTQ max-calibration: activations outside the calibrated
+    range saturate at serve time, so calibrate on inputs that span the
+    serving distribution (a handful of real images suffices for
+    max-scales; the serve CLI uses the first N inputs of the served
+    directory).
+    """
+    fwd = jax.jit(lambda v, x: model.apply(
+        v, x, train=False, mutable=["quant_scales"])[1]["quant_scales"])
+    qs = None
+    n = 0
+    for x in batches:
+        v = dict(variables)
+        if qs is not None:
+            v["quant_scales"] = qs
+        qs = fwd(v, jnp.asarray(x))
+        n += 1
+    if qs is None:
+        raise ValueError("calibrate_quant_scales: no calibration batches")
+    if log:
+        flat = jax.tree.leaves(qs)
+        log(f"quant8 calibration: {n} batches, {len(flat)} conv sites, "
+            f"scale range [{min(float(s) for s in flat):.2e}, "
+            f"{max(float(s) for s in flat):.2e}]")
+    return {**variables, "quant_scales": qs}
+
+
 def load_model(model_path: str, checkpoint_path: str,
                dtype=jnp.float32,
                fast: bool = False,
-               quant8: bool = False) -> Tuple[PPNet, ProtoSpec, Dict]:
+               quant8=False) -> Tuple[PPNet, ProtoSpec, Dict]:
     """(model, spec, variables) from a run dir's config + checkpoint.
 
     ``fast=True`` enables the fused Pallas ASPP on DeepLabV2 backbones
@@ -47,6 +85,11 @@ def load_model(model_path: str, checkpoint_path: str,
     ``quant8=True`` additionally runs the layer4/5 ResNet convs in
     dynamic w8a8 int8 (`ops/quant.py`) — inference serving only; the
     param tree is unchanged, so the same checkpoint loads either way.
+    ``quant8='static'`` uses calibrated per-site activation scales
+    instead (the SPEED path — the dynamic form's per-conv max-reduce
+    passes made it a net loss): after loading, run
+    ``calibrate_quant_scales(model, variables, batches)`` and serve
+    with the returned variables.
     quant8 forces the fully-XLA path (overrides ``fast``): int8 convs
     flip XLA's activation layouts, and ANY downstream Pallas custom
     call (ASPP, proto head, or upsample) then constrains its operand
@@ -98,7 +141,7 @@ def load_model(model_path: str, checkpoint_path: str,
         # then forces a relayout that measured 317-382 vs 127 ms/batch.
         model = dataclasses.replace(
             model,
-            backbone=dataclasses.replace(model.backbone, quant8=True))
+            backbone=dataclasses.replace(model.backbone, quant8=quant8))
 
     variables = {"params": jax.tree.map(jnp.asarray, params)}
     if batch_stats:

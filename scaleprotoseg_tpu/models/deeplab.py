@@ -41,7 +41,7 @@ class Bottleneck(nn.Module):
     dilation: int
     shortcut: bool
     dtype: jnp.dtype = jnp.float32
-    quant8: bool = False
+    quant8: bool | str = False
     fast_grad: bool = False
 
     @nn.compact
@@ -70,7 +70,7 @@ class ResLayer(nn.Module):
     stride: int
     dilation: int
     dtype: jnp.dtype = jnp.float32
-    quant8: bool = False
+    quant8: bool | str = False
     fast_grad: bool = False
 
     @nn.compact
@@ -90,7 +90,7 @@ class Stem(nn.Module):
 
     out: int = 64
     dtype: jnp.dtype = jnp.float32
-    quant8: bool = False
+    quant8: bool | str = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -240,21 +240,22 @@ class DeepLabV2(nn.Module):
     # differentiable via a custom VJP (ops/pallas_aspp.py), so usable in
     # training too; default False keeps the parity-tested XLA form.
     fast_aspp: bool = False
-    # dynamic w8a8 int8 ResNet convs (inference serving only; the ASPP
-    # stays bf16).  Applied to the DILATED layers only (layer4/5 — 84%
-    # of the FLOPs): in the HBM-bound stem/layer2/3 the per-conv
-    # dynamic quantize (an extra read + global max + int8 write per
-    # activation) costs more than the conv saves — a whole-backbone
-    # quant8 measured 3x slower end-to-end.  Even scoped, XLA's int8
-    # conv lowering runs at ~the bf16 rate on v5e (not the 2x MXU
-    # peak), so quant8 is a memory/accuracy deployment knob, not a
-    # speed win — measured numbers in ops/quant.py.  Do NOT combine
-    # with fast_aspp or any downstream Pallas call: the int8-conv
-    # activation layout forces a relayout at every Pallas operand-
-    # layout constraint, measured at a 3x whole-model cliff
-    # (load_model and make_serving_fn enforce the fully-XLA path).
-    # Identical param tree either way; any checkpoint loads.
-    quant8: bool = False
+    # w8a8 int8 ResNet convs (inference serving only; the ASPP stays
+    # bf16).  False | True (dynamic per-call activation scales) |
+    # "static" (calibrated per-site scales in the ``quant_scales``
+    # collection — the SPEED path: XLA's s8 conv lowering runs
+    # 1.44-1.78x bf16 at serving shapes, and with static scales the
+    # quantize fuses into the producer's epilogue instead of costing
+    # 1-2 extra HBM passes per conv; measured numbers + calibration
+    # protocol in ops/quant.py / models/layers.py).  Applied to the
+    # DILATED layers only (layer4/5 — 84% of the FLOPs): the
+    # HBM-bound stem/layer2/3 gain nothing from MXU-rate wins.
+    # Do NOT combine with fast_aspp or any downstream Pallas call:
+    # the int8-conv activation layout forces a relayout at every
+    # Pallas operand-layout constraint, measured at a 3x whole-model
+    # cliff (load_model and make_serving_fn enforce the fully-XLA
+    # path).  Identical param tree either way; any checkpoint loads.
+    quant8: bool | str = False
     # shifted-matmul custom-VJP backward for the DILATED 3x3 convs
     # (layer4/5 conv3x3 — where XLA's grad-conv lowering measures 2-4x
     # below the matmul form, benchmarks/bench_gradconv.py).  Forward

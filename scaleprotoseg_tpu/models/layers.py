@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,8 +41,19 @@ class _S2DStemConv(nn.Module):
 
 class _QuantConv(nn.Module):
     """nn.Conv-compatible params (``kernel`` HWIO, no bias), computed as
-    a dynamic w8a8 int8 convolution (`ops/quant.py`).  Same tree path as
-    the fp conv, so any checkpoint loads into either form."""
+    a w8a8 int8 convolution (`ops/quant.py`).  Same tree path as the fp
+    conv, so any checkpoint loads into either form.
+
+    ``static=False`` (dynamic): per-call activation scale — extra HBM
+    passes per conv (the round-3 net loss; ops/quant.py).
+    ``static=True``: the activation scale lives in the
+    ``quant_scales`` variable collection.  When that collection is
+    MUTABLE (a calibration pass: ``model.apply(..,
+    mutable=["quant_scales"])``), the module computes the full-precision
+    conv, folds ``max|x|/127`` into the running scale, and the caller
+    threads the updated collection into the next calibration batch.
+    When immutable (serving), the conv runs int8 with the calibrated
+    scale and the quantize fuses into the producer's epilogue."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -49,17 +61,37 @@ class _QuantConv(nn.Module):
     dilation: Tuple[int, int]
     padding: Sequence[Tuple[int, int]]
     dtype: jnp.dtype = jnp.float32
+    static: bool = False
 
     @nn.compact
     def __call__(self, x):
-        from scaleprotoseg_tpu.ops.quant import dynamic_int8_conv
+        from scaleprotoseg_tpu.ops.quant import (dynamic_int8_conv,
+                                                 static_int8_conv)
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))
-        return dynamic_int8_conv(x, kernel, strides=self.strides,
-                                 padding=list(self.padding),
-                                 dilation=self.dilation,
-                                 out_dtype=self.dtype)
+        if not self.static:
+            return dynamic_int8_conv(x, kernel, strides=self.strides,
+                                     padding=list(self.padding),
+                                     dilation=self.dilation,
+                                     out_dtype=self.dtype)
+        scale = self.variable("quant_scales", "x_scale",
+                              lambda: jnp.zeros((), jnp.float32))
+        if self.is_mutable_collection("quant_scales"):
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            scale.value = jnp.maximum(scale.value, amax / 127.0)
+            # calibration runs the full-precision conv: downstream
+            # sites must calibrate on the reference activations, not
+            # on half-quantized ones
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), self.strides,
+                list(self.padding), rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return static_int8_conv(x, kernel, scale.value,
+                                strides=self.strides,
+                                padding=list(self.padding),
+                                dilation=self.dilation,
+                                out_dtype=self.dtype)
 
 
 class _FastGradConv(nn.Module):
@@ -87,8 +119,10 @@ class ConvBN(nn.Module):
     ``s2d_stem=True`` (7x7/2 convs only) computes the conv via
     space-to-depth — same parameters, ~2x faster for RGB stems on TPU.
     ``quant8=True`` (inference serving) computes the conv in dynamic
-    w8a8 int8 on the MXU (identical param tree; measured perf caveats
-    in ops/quant.py — a memory/accuracy knob, not a speed win).
+    w8a8 int8 on the MXU; ``quant8="static"`` uses a calibrated
+    per-site activation scale instead — the quantize then fuses into
+    the producer's epilogue (the speed path; ops/quant.py).  Identical
+    param tree either way.
     ``fast_grad=True`` (3x3 stride-1 dilated convs only) swaps in the
     shifted-matmul backward (`ops/gradconv.py`) — a training-speed
     knob; forward numerics are identical (same conv op).
@@ -102,7 +136,7 @@ class ConvBN(nn.Module):
     relu: bool = True
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False
-    quant8: bool = False
+    quant8: bool | str = False           # False | True (dynamic) | "static"
     fast_grad: bool = False
 
     @nn.compact
@@ -125,7 +159,9 @@ class ConvBN(nn.Module):
         if self.quant8:
             x = _QuantConv(self.features, self.kernel_size,
                            strides=self.strides, dilation=self.dilation,
-                           padding=pad, dtype=self.dtype, name="conv")(x)
+                           padding=pad, dtype=self.dtype,
+                           static=(self.quant8 == "static"),
+                           name="conv")(x)
         elif (self.fast_grad and self.kernel_size == (3, 3)
               and self.strides == (1, 1)
               and self.dilation[0] == self.dilation[1]

@@ -12,17 +12,34 @@ no extra state:
 - accumulation: int32 on the MXU, dequantized once into the model's
   compute dtype.
 
-Measured reality on v5e (flagship shapes, batch 4): XLA's s8xs8->s32
-conv lowering does NOT approach the 2x peak — an isolated layer4 3x3
-dil-2 int8 conv runs at ~the bf16 conv's speed (2.93 vs 3.08 ms), a
-sustained 20-conv chain at 1.25x — and the per-conv dynamic quantize
-adds an activation pass, so quantizing the HBM-bound stem/layer2/3
-made the whole model 3x slower; `models/deeplab.py` applies quant8 to
-the dilated layer4/5 only (84% of the FLOPs).  Even so the shipped
-config is a measured net LOSS vs bf16 (backbone 127 vs 103.5 ms/batch
-at 1024x2048): quant8 is an accuracy-verified deployment surface for
-memory-constrained serving, not a speed win — see README "int8
-serving".  Composition caveat: int8 convs make XLA lay activations
+Measured reality on v5e, CORRECTED in round 4 (the round-3 numbers
+below were distorted by a timing-sync artifact — the sync fetched whole
+activations through the hosted tunnel, and int8 outputs are half the
+wire bytes of bf16; `profiling.sync` now fetches one element):
+
+- XLA's s8xs8->s32 conv lowering IS fast at serving shapes: the
+  layer4/5 dilated 3x3 convs run 182-270 TFLOP/s vs bf16's 126-152
+  (1.44-1.78x; `benchmarks/bench_int8_forms.py`, same-run A/B with
+  scalar syncs).  Shifted-matmul re-expressions (XLA dot or Pallas)
+  are 4-6x WORSE than the conv lowering — there is nothing to gain
+  from a custom int8 conv kernel (VERDICT r3 #7: resolved, no-go on
+  the kernel, go on int8 itself).
+- What made the shipped *dynamic* quant8 a net loss (26.9 vs
+  34.5 img/s end-to-end) is the PER-CONV DYNAMIC QUANTIZE: a global
+  max-reduce pass over the activation plus a separate scale pass that
+  cannot fuse into the producer (the scale depends on the full
+  tensor).  ~70 quantized convs x ~2 extra HBM passes each eats the
+  MXU win.
+- Hence ``static_int8_conv``: a per-site activation scale fixed at
+  calibration time makes the quantize a pure elementwise epilogue
+  that XLA fuses into the producer's BN/ReLU pass — no extra
+  activation traffic.  See `models/layers._QuantConv(static=True)`
+  for the calibration mechanism.
+
+`models/deeplab.py` applies quant8 to the dilated layer4/5 only (84%
+of the FLOPs); quantizing the HBM-bound stem/layer2/3 made the whole
+model 3x slower.  Composition caveat: int8 convs make XLA lay
+activations
 out batch-second-minor, and ANY downstream Pallas custom call's
 operand-layout constraint then forces a relayout measured at a 3x
 whole-model cliff (fused ASPP: 317 ms; fused head+upsample on an
@@ -95,4 +112,33 @@ def dynamic_int8_conv(x: jax.Array, kernel: jax.Array, *,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     out = out.astype(jnp.float32) * (sx * sw)
+    return out if out_dtype is None else out.astype(out_dtype)
+
+
+def static_int8_conv(x: jax.Array, kernel: jax.Array, x_scale: jax.Array,
+                     *, strides: Sequence[int] = (1, 1),
+                     padding="SAME",
+                     dilation: Optional[Sequence[int]] = None,
+                     out_dtype=None) -> jax.Array:
+    """``dynamic_int8_conv`` with the activation scale fixed up front.
+
+    ``x_scale`` is a scalar from a calibration pass (max|x|/127 over
+    calibration batches — `models/layers._QuantConv`).  With the scale
+    static, quantizing ``x`` is one elementwise round/clip/cast that XLA
+    fuses into the producing op's epilogue — unlike the dynamic form,
+    whose global max-reduce forces 1-2 extra full HBM passes per conv.
+    Values outside the calibrated range saturate at +-127 (standard
+    post-training-quantization behavior).  Weight quantization is
+    per-output-channel and constant-folds.
+    """
+    inv = 1.0 / jnp.maximum(x_scale.astype(jnp.float32), 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                  -127, 127).astype(jnp.int8)
+    wq, sw = quantize_symmetric(kernel, axis=3)       # (O,)
+    out = lax.conv_general_dilated(
+        xq, wq, tuple(strides), padding,
+        rhs_dilation=None if dilation is None else tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * (x_scale * sw)
     return out if out_dtype is None else out.astype(out_dtype)

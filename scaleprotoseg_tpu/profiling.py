@@ -22,10 +22,19 @@ import jax
 
 
 def sync(x) -> None:
-    """Robust device sync: fetch a leaf to the host."""
+    """Robust device sync: fetch ONE ELEMENT of a leaf to the host.
+
+    The slice depends on the full producing computation, so the fetch
+    synchronizes it — without dragging the whole leaf through the
+    hosted tunnel (~100 MB/s: syncing a raw 68 MB activation would add
+    ~700 ms of pure wire time and once skewed an int8-vs-bf16 A/B by
+    2x because the arms' wire bytes differed)."""
     leaves = jax.tree.leaves(x)
     if leaves:
-        jax.device_get(leaves[0])
+        leaf = leaves[0]
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 1) > 1:
+            leaf = leaf.ravel()[:1]
+        jax.device_get(leaf)
 
 
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2,

@@ -83,6 +83,13 @@ def make_serving_fn(model, *, output: str = "labels",
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
     def fn(variables, x):
+        if (getattr(model.backbone, "quant8", False) == "static"
+                and "quant_scales" not in variables):
+            raise ValueError(
+                "quant8='static' model served without calibrated "
+                "scales: run model_loading.calibrate_quant_scales "
+                "first (the serve CLI's --quant8-static does this on "
+                "the first inputs)")
         if normalize_to is not None:
             x = ((x.astype(jnp.float32) / 255.0 - mean) / std).astype(
                 normalize_to)
@@ -201,6 +208,13 @@ def save_artifact(path: str, exported, variables, spec=None,
     with open(tmp, "wb") as f:
         f.write(exported.serialize())
     os.replace(tmp, os.path.join(path, "module.bin"))
+    if "quant_scales" in variables:
+        # calibrated static-quant activation scales: a small tree of
+        # scalars — persisted as nested floats in the ckpt extra so the
+        # artifact serves without re-calibration
+        extra = dict(extra or {})
+        extra["quant_scales"] = jax.tree.map(
+            float, variables["quant_scales"])
     save_checkpoint(os.path.join(path, "weights.ckpt"),
                     variables.get("params", {}),
                     batch_stats=variables.get("batch_stats"),
@@ -272,6 +286,10 @@ def load_artifact(path: str) -> ServingModel:
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    qs = (wmeta.get("extra") or {}).get("quant_scales")
+    if qs:
+        variables["quant_scales"] = jax.tree.map(
+            lambda v: jnp.asarray(v, jnp.float32), qs)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     if meta.get("format") != _FORMAT:
@@ -286,15 +304,26 @@ def export_from_run(model_path: str, checkpoint_path: str, out_dir: str,
                     *, height: int, width: int,
                     batch: Optional[int] = None,
                     output: str = "labels", fast: bool = False,
-                    quant8: bool = False,
+                    quant8=False, calibration=None,
                     input_dtype=jnp.bfloat16,
                     platforms: Optional[Sequence[str]] = None) -> str:
-    """Run-dir checkpoint -> serving artifact (the deploy one-liner)."""
-    from scaleprotoseg_tpu.model_loading import load_model
+    """Run-dir checkpoint -> serving artifact (the deploy one-liner).
+
+    ``quant8='static'`` needs ``calibration``: an iterable of
+    normalized (B, H, W, 3) input batches for the scale calibration
+    (`model_loading.calibrate_quant_scales`); the scales ship inside
+    the artifact."""
+    from scaleprotoseg_tpu.model_loading import (calibrate_quant_scales,
+                                                 load_model)
 
     model, spec, variables = load_model(model_path, checkpoint_path,
                                         dtype=input_dtype, fast=fast,
                                         quant8=quant8)
+    if quant8 == "static":
+        if calibration is None:
+            raise ValueError("quant8='static' export needs calibration "
+                             "batches")
+        variables = calibrate_quant_scales(model, variables, calibration)
     exported = export_serving(model, variables, height=height,
                               width=width, batch=batch, output=output,
                               input_dtype=input_dtype, fast=fast,

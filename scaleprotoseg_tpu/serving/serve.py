@@ -197,9 +197,19 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="disable the fused Pallas fast path")
     p.add_argument("--quant8", action="store_true",
                    help="dynamic w8a8 int8 layer4/5 convs (~0.5%% "
-                   "logit perturbation; memory knob — measured SLOWER "
-                   "than bf16 on v5e, and it forces the fully-XLA "
-                   "path: see ops/quant.py)")
+                   "logit perturbation; memory knob — the per-conv "
+                   "dynamic quantize makes it SLOWER than bf16 on "
+                   "v5e, and it forces the fully-XLA path: see "
+                   "ops/quant.py)")
+    p.add_argument("--quant8-static", action="store_true",
+                   help="static-scale w8a8 int8 layer4/5 convs: "
+                   "calibrates activation scales on the first "
+                   "--calib-images inputs, then serves with the "
+                   "quantize fused into conv epilogues (the int8 "
+                   "SPEED path — XLA's s8 conv runs 1.44-1.78x bf16 "
+                   "at serving shapes; ops/quant.py)")
+    p.add_argument("--calib-images", type=int, default=8,
+                   help="calibration inputs for --quant8-static")
     p.add_argument("--dynamic-batch", action="store_true",
                    help="export with a symbolic batch dim (XLA path)")
     p.add_argument("--platforms",
@@ -277,10 +287,27 @@ def main(argv: Optional[List[str]] = None) -> dict:
         model_path = os.path.join(
             args.results_root or settings.results_dir(), args.model_name)
         ckpt = resolve_checkpoint(model_path, args.training_phase)
+        if args.quant8 and args.quant8_static:
+            p.error("--quant8 and --quant8-static are exclusive")
+        quant8 = "static" if args.quant8_static else args.quant8
         in_dtype = jnp.bfloat16 if fast else jnp.float32
         model, spec, variables = load_model(model_path, ckpt,
                                             dtype=in_dtype, fast=fast,
-                                            quant8=args.quant8)
+                                            quant8=quant8)
+        if quant8 == "static":
+            # PTQ calibration on the first inputs of the served
+            # directory, host-normalized into the model's input space
+            # (the device-preprocess wire format is irrelevant here:
+            # calibration drives model.apply directly)
+            from scaleprotoseg_tpu.model_loading import \
+                calibrate_quant_scales
+            calib_pre = _make_preprocess(args.input, args.margin,
+                                         canvas=canvas, sizes={},
+                                         normalize=True)
+            batches = (np.asarray(calib_pre(n), in_dtype)[None]
+                       for n in names[:max(args.calib_images, 1)])
+            variables = calibrate_quant_scales(model, variables, batches,
+                                               log=print)
         if args.export:
             from scaleprotoseg_tpu.serving.export import (export_serving,
                                                           save_artifact)
@@ -294,7 +321,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             save_artifact(args.export, exported, variables, spec=spec,
                           extra={"model_path": model_path,
                                  "checkpoint": ckpt, "fast": fast,
-                                 "quant8": args.quant8})
+                                 "quant8": quant8})
             record = {"exported": args.export,
                       "input": [None if args.dynamic_batch else args.batch,
                                 h, w, 3],

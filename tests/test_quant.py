@@ -229,3 +229,92 @@ def test_quant8_training_refused():
     with pytest.raises(ValueError, match="quant8"):
         make_train_step(model, spec, optax.sgd(1e-3), {"backbone"},
                         LossWeights())
+
+
+def test_static_int8_conv_exact_when_representable(rng):
+    # static form of the representable-grid oracle: with the true
+    # activation scale passed in, the int32 accumulation must
+    # reproduce the fp32 conv exactly
+    from scaleprotoseg_tpu.ops.quant import static_int8_conv
+    xi = rng.integers(-127, 128, size=(2, 9, 9, 8))
+    wi = rng.integers(-127, 128, size=(3, 3, 8, 16))
+    wi[0, 0, 0, :] = 127
+    sx = 0.0625
+    sw = np.full(16, 0.03125)
+    x = jnp.asarray(xi * sx, jnp.float32)
+    w = jnp.asarray(wi * sw, jnp.float32)
+    # x_scale is the GRID STEP (amax/127), exactly sx here
+    got = static_int8_conv(x, w, jnp.float32(sx), dilation=(2, 2))
+    want = _conv_fp32(x, w, dilation=(2, 2))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_quant8_static_calibrate_then_serve(tiny_pair):
+    fp, _, variables, x = tiny_pair
+    st = DeepLabV2(n_out=8, n_blocks=(1, 1, 1, 1), aspp_mode="concat",
+                   quant8="static")
+    y_fp = np.asarray(fp.apply(variables, x))
+
+    # calibration pass: full-precision forward + scale collection
+    y_cal, mut = st.apply(variables, x, mutable=["quant_scales"])
+    np.testing.assert_allclose(np.asarray(y_cal), y_fp, atol=2e-4)
+    scales = mut["quant_scales"]
+    leaves = jax.tree.leaves(scales)
+    # layer4/5 only: 2 blocks x (reduce, conv3x3, increase, shortcut)
+    assert len(leaves) == 8
+    assert all(float(s) > 0 for s in leaves)
+
+    # running max across batches: a second, smaller batch cannot
+    # shrink any scale
+    x2 = x * 0.5
+    _, mut2 = st.apply({**variables, "quant_scales": scales}, x2,
+                       mutable=["quant_scales"])
+    for a, b in zip(jax.tree.leaves(mut2["quant_scales"]), leaves):
+        assert float(a) >= float(b) - 1e-9
+
+    # serving pass (immutable scales): close to the fp backbone
+    y_st = np.asarray(st.apply({**variables, "quant_scales": scales}, x))
+    rel = np.abs(y_st - y_fp).max() / (np.abs(y_fp).max() + 1e-9)
+    assert rel < 0.1, f"relative max err {rel}"
+
+
+def test_calibrate_quant_scales_helper_and_artifact_roundtrip(
+        rng, tmp_path):
+    # the serving flow: tiny static-quant PPNet -> calibrate via the
+    # model_loading helper -> export an artifact -> reload from a
+    # fresh deserialize -> identical labels (scales persisted)
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship, synthetic_init
+    from scaleprotoseg_tpu.model_loading import calibrate_quant_scales
+    from scaleprotoseg_tpu.serving import make_serving_fn
+    from scaleprotoseg_tpu.serving.export import (export_serving,
+                                                  load_artifact,
+                                                  save_artifact)
+
+    model_st, _ = _flagship(tiny=True, grouped=True, dtype=jnp.float32,
+                            quant8="static")
+    x = jnp.asarray(rng.standard_normal((1, 33, 33, 3)), jnp.float32)
+    shapes = jax.eval_shape(lambda k: model_st.init(k, x),
+                            jax.random.PRNGKey(0))
+    shapes = dict(shapes)
+    shapes.pop("quant_scales", None)   # init-time scales are dummies
+    variables = synthetic_init(shapes)
+
+    # un-calibrated serving must refuse loudly
+    with pytest.raises(ValueError, match="calibrate"):
+        make_serving_fn(model_st)(variables, x)
+
+    batches = [x, jnp.asarray(rng.standard_normal((1, 33, 33, 3)),
+                              jnp.float32)]
+    cal = calibrate_quant_scales(model_st, variables, batches)
+    assert "quant_scales" in cal
+    y = np.asarray(make_serving_fn(model_st)(cal, x))
+
+    exported = export_serving(model_st, cal, height=33, width=33,
+                              batch=1, input_dtype=jnp.float32)
+    save_artifact(str(tmp_path / "art"), exported, cal)
+    served = load_artifact(str(tmp_path / "art"))
+    assert "quant_scales" in served.variables
+    y2 = np.asarray(served.predict(x))
+    np.testing.assert_array_equal(y, y2)

@@ -518,3 +518,54 @@ def test_serve_cli_raw_output_and_writer_pool(tiny, tmp_path):
             np.testing.assert_array_equal(png, raw)
     finally:
         ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
+
+
+def test_serve_cli_quant8_static(tiny, tmp_path):
+    """--quant8-static: the CLI calibrates on the first --calib-images
+    inputs, serves with static scales, and an --export artifact carries
+    the calibrated scales."""
+    import dataclasses
+
+    import scaleprotoseg_tpu.model_loading as ml
+    import scaleprotoseg_tpu.serving.serve as serve_mod
+
+    model, spec, variables = tiny
+    in_dir = tmp_path / "images"
+    in_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        np.save(in_dir / f"f{i}.npy",
+                rng.integers(0, 256, size=(33, 33, 3)).astype(np.uint8))
+
+    def fake_load(*a, **k):
+        q8 = k.get("quant8", False)
+        m = model
+        if q8:
+            m = dataclasses.replace(
+                m, backbone=dataclasses.replace(m.backbone, quant8=q8))
+        return m, spec, variables
+
+    orig_load, orig_resolve = ml.load_model, ml.resolve_checkpoint
+    ml.load_model = fake_load
+    ml.resolve_checkpoint = lambda *a: "ckpt"
+    try:
+        rec = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--output", str(tmp_path / "p_st"), "--batch", "2",
+             "--quant8-static", "--calib-images", "2",
+             "--results-root", str(tmp_path)])
+        assert rec["images"] == 4
+        assert len(os.listdir(tmp_path / "p_st")) == 4
+
+        rec_x = serve_mod.main(
+            ["run", "final", "--input", str(in_dir),
+             "--export", str(tmp_path / "art_st"), "--batch", "2",
+             "--quant8-static", "--calib-images", "2",
+             "--results-root", str(tmp_path)])
+        assert rec_x["exported"]
+        from scaleprotoseg_tpu.serving.export import load_artifact
+        served = load_artifact(str(tmp_path / "art_st"))
+        assert "quant_scales" in served.variables
+        assert served.meta["extra"]["quant8"] == "static"
+    finally:
+        ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
