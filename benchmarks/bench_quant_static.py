@@ -49,7 +49,8 @@ def main():
     for tag, quant8, fast in (("bf16_fast", False, True),
                               ("bf16_xla", False, False),
                               ("quant8_dyn", True, False),
-                              ("quant8_static", "static", False)):
+                              ("quant8_static", "static", False),
+                              ("quant8_static_fast", "static", True)):
         model, _ = _flagship(tiny=False, grouped=True, dtype=jnp.bfloat16,
                              quant8=quant8, fast_aspp=fast)
         v = variables

@@ -90,12 +90,16 @@ def load_model(model_path: str, checkpoint_path: str,
     passes made it a net loss): after loading, run
     ``calibrate_quant_scales(model, variables, batches)`` and serve
     with the returned variables.
-    quant8 forces the fully-XLA path (overrides ``fast``): int8 convs
-    flip XLA's activation layouts, and ANY downstream Pallas custom
-    call (ASPP, proto head, or upsample) then constrains its operand
-    layout, forcing a relayout measured at a 3x whole-model cliff on
-    v5e (317-382 vs 127 ms at batch 4 1024x2048 — ops/quant.py).
-    ``make_serving_fn`` applies the same guard to its ``fast`` flag."""
+    DYNAMIC quant8 (``True``) forces the fully-XLA path (overrides
+    ``fast``): the per-conv dynamic quantize flips XLA's activation
+    layouts, and ANY downstream Pallas custom call (ASPP, proto head,
+    or upsample) then constrains its operand layout, forcing a
+    relayout measured at a 3x whole-model cliff on v5e (318 vs 105 ms
+    at batch 4 1024x2048, re-confirmed round 4 — ops/quant.py).
+    STATIC quant8 has no cliff and COMPOSES with ``fast`` — the
+    fastest measured serving config (40.5 img/s vs 38.0 bf16-fast,
+    benchmarks/bench_quant_static2.py).  ``make_serving_fn`` applies
+    the same dynamic-only guard to its ``fast`` flag."""
     from scaleprotoseg_tpu.cli_common import enable_compilation_cache
     enable_compilation_cache()
     params, batch_stats, meta = load_checkpoint(checkpoint_path)
@@ -128,7 +132,8 @@ def load_model(model_path: str, checkpoint_path: str,
         dtype=dtype)
     if built_spec != spec:
         model = dataclasses.replace(model, spec=spec)
-    if fast and not quant8 and hasattr(model.backbone, "fast_aspp"):
+    if fast and quant8 is not True and \
+            hasattr(model.backbone, "fast_aspp"):
         model = dataclasses.replace(
             model,
             backbone=dataclasses.replace(model.backbone, fast_aspp=True))
@@ -136,9 +141,10 @@ def load_model(model_path: str, checkpoint_path: str,
         if not hasattr(model.backbone, "quant8"):
             raise ValueError("quant8 serving needs a DeepLabV2 backbone; "
                              f"got {type(model.backbone).__name__}")
-        # NOT fast_aspp: int8 convs make XLA lay activations out
-        # batch-second-minor, and any Pallas call's layout constraint
-        # then forces a relayout that measured 317-382 vs 127 ms/batch.
+        # dynamic (True) drops fast_aspp above: the dynamic quantize
+        # makes XLA lay activations out batch-second-minor, and any
+        # Pallas call's layout constraint then forces a relayout that
+        # measured 318 vs 105 ms/batch; static composes cliff-free.
         model = dataclasses.replace(
             model,
             backbone=dataclasses.replace(model.backbone, quant8=quant8))

@@ -250,11 +250,14 @@ class DeepLabV2(nn.Module):
     # protocol in ops/quant.py / models/layers.py).  Applied to the
     # DILATED layers only (layer4/5 — 84% of the FLOPs): the
     # HBM-bound stem/layer2/3 gain nothing from MXU-rate wins.
-    # Do NOT combine with fast_aspp or any downstream Pallas call:
-    # the int8-conv activation layout forces a relayout at every
-    # Pallas operand-layout constraint, measured at a 3x whole-model
-    # cliff (load_model and make_serving_fn enforce the fully-XLA
-    # path).  Identical param tree either way; any checkpoint loads.
+    # Composition: DYNAMIC (True) must NOT combine with fast_aspp or
+    # any downstream Pallas call — the dynamic quantize's layout flip
+    # forces relayouts at every Pallas operand-layout constraint, a
+    # measured 3x whole-model cliff (load_model and make_serving_fn
+    # enforce the fully-XLA path for it).  STATIC composes cliff-free
+    # with the full Pallas fast path — the fastest measured serving
+    # config (40.5 img/s; benchmarks/bench_quant_static2.py).
+    # Identical param tree either way; any checkpoint loads.
     quant8: bool | str = False
     # shifted-matmul custom-VJP backward for the DILATED 3x3 convs
     # (layer4/5 conv3x3 — where XLA's grad-conv lowering measures 2-4x

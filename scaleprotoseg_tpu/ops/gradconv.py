@@ -1,21 +1,25 @@
-"""Dilated 3x3 conv with a shifted-matmul backward (custom VJP).
+"""Dilated 3x3 conv with a hybrid custom-VJP backward.
 
-XLA's conv-gradient lowering underperforms on v5e for the backbone's
-DILATED 3x3 convs (layer4 d=2, layer5 d=4 — 84% of the model FLOPs):
-`benchmarks/bench_gradconv.py` measures the weight grad at ~3.4 and the
-input grad at ~4.0 TFLOP/s for layer5 shapes, while the SAME math
-re-expressed as nine shifted pointwise matmuls (pure MXU contractions
-over the pixel axis, the transpose trick the fused ASPP VJP already
-uses in `ops/pallas_aspp.py`) runs 2-4x faster.  This module wraps
-`lax.conv_general_dilated` (whose FORWARD is already near-roofline,
-131-146 TFLOP/s in-model) in a `jax.custom_vjp` that computes both
-gradients in the matmul form.
-
-Math (stride 1, same-padding p=d, zero pad; k indexes the 3x3 taps):
+XLA's AD of `lax.conv_general_dilated` computes the WEIGHT grad of the
+backbone's dilated 3x3 convs (layer4 d=2, layer5 d=4 — 84% of the
+model FLOPs) via its conv-grad lowering, which measures 1.4x slower
+than the same contraction written as nine shifted pointwise matmuls
+over the pixel axis (64 vs 89 TFLOP/s at layer5 train shapes,
+clean-sync `benchmarks/bench_gradconv.py`).  The INPUT grad is the
+opposite: XLA's native transpose-conv form (one conv with the
+spatially-flipped, IO-swapped kernel) measures 168 vs the mm form's
+94 TFLOP/s.  So the custom VJP is hybrid — matmul-form dW, conv-form
+dX:
 
     y[q]  = sum_k x[q + (k-1)d] W[k]
-    dW[k] = sum_q x[q + (k-1)d]^T dy[q]      (pixel-axis contraction)
-    dx[q] = sum_k dy[q - (k-1)d] W[k]^T      (opposite shifts)
+    dW[k] = sum_q x[q + (k-1)d]^T dy[q]      (9 pixel-axis matmuls)
+    dx[q] = sum_k dy[q - (k-1)d] W[k]^T      (= conv(dy, rot180(W)^T))
+
+In-model the knob is worth more than the isolated rates suggest
+(better fusion with the surrounding BN/ReLU backward): the cityscapes
+joint step measured 43.9 -> 40.8 ms from the knob alone, and the full
+TPU recipe (bf16 + fast_aspp + fast_gradconv) runs 35.3 vs 38.8
+without it over a 1000-step window (`bench_bf16_divergence.py`).
 
 Exact re-expressions — same bf16 operands, fp32 accumulation — so this
 is a scheduling change, not an approximation; fp32 parity is pinned in
@@ -73,16 +77,15 @@ def _bwd(dilation: int, res, dy):
         rows.append(jnp.stack(row))
     dw = jnp.stack(rows).astype(w.dtype)                # (3, 3, Cin, Cout)
 
-    # dX += shift(dY @ W[ky,kx]^T) with the opposite shift per tap
-    dyp = jnp.pad(dy, ((0, 0), (d, d), (d, d), (0, 0)))
-    dx = None
-    for ky in range(3):
-        for kx in range(3):
-            ds = lax.dynamic_slice(dyp, (0, (2 - ky) * d, (2 - kx) * d, 0),
-                                   (b, h, w_, cout))
-            t = jnp.einsum("bhwo,co->bhwc", ds, w[ky, kx],
-                           preferred_element_type=jnp.float32)
-            dx = t if dx is None else dx + t
+    # dX as ONE native conv with the spatially-flipped, IO-swapped
+    # kernel: dx[q] = sum_k dy[q - (k-1)d] W[k]^T == conv(dy, rot180(W)^T)
+    # at the same dilation/padding.  XLA's lowering of this form
+    # measures FASTER than nine shifted matmuls (168 vs 94 TFLOP/s at
+    # layer5 shapes, clean-sync bench_gradconv.py) — the mm form only
+    # wins for the WEIGHT grad, so the backward is hybrid.
+    del cout
+    w_flip = jnp.swapaxes(w[::-1, ::-1], 2, 3)          # (3,3,Cout,Cin)
+    dx = _conv(dy, w_flip, d)
     return dx.astype(x.dtype), dw
 
 

@@ -38,14 +38,25 @@ wire bytes of bf16; `profiling.sync` now fetches one element):
 
 `models/deeplab.py` applies quant8 to the dilated layer4/5 only (84%
 of the FLOPs); quantizing the HBM-bound stem/layer2/3 made the whole
-model 3x slower.  Composition caveat: int8 convs make XLA lay
-activations
+model 3x slower.
+
+Composition: the DYNAMIC form's quantize makes XLA lay activations
 out batch-second-minor, and ANY downstream Pallas custom call's
 operand-layout constraint then forces a relayout measured at a 3x
-whole-model cliff (fused ASPP: 317 ms; fused head+upsample on an
-XLA-ASPP backbone: 382 ms; fully-XLA: 127 ms/batch) —
-``model_loading.load_model`` and ``serving.make_serving_fn``
-therefore force the fully-XLA path whenever quant8 is on.
+whole-model cliff (318 ms vs 105 at batch 4, re-confirmed round 4
+with clean syncs) — ``model_loading.load_model`` and
+``serving.make_serving_fn`` force the fully-XLA path for
+``quant8=True``.  The STATIC form has NO cliff and composes with the
+fused Pallas ASPP/head/upsample; measured end-to-end at Cityscapes
+1024x2048 batch 4 (benchmarks/bench_quant_static{,2}.py):
+
+    bf16 + Pallas fast path        38.0 img/s   (the bf16 headline)
+    bf16 fully-XLA                 33.6
+    quant8 dynamic (fully-XLA)     31.1         (the round-3 knob)
+    quant8 static  (fully-XLA)     35.5
+    quant8 static + Pallas fast    40.5  <- fastest serving config;
+                                      labels identical to bf16-fast
+                                      on the 8.4M-pixel probe batch
 
 Inference-only by construction (a round() has no useful gradient): the
 backbone enables it behind the construction-time ``quant8=True`` flag

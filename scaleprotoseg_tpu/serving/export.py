@@ -67,15 +67,19 @@ def make_serving_fn(model, *, output: str = "labels",
     per-image host float pass, which is what bounds streaming
     throughput on thin serving hosts (`benchmarks/bench_serving.py`).
 
-    quant8 backbones silently drop ``fast``: int8 convs flip XLA's
-    activation layouts, and ANY downstream Pallas custom call (fused
-    head or upsample) then constrains its operand layout, forcing a
-    relayout measured at a 3x whole-model cliff on v5e (382 vs 127
-    ms/batch — ops/quant.py has the full breakdown).
+    DYNAMIC-quant8 backbones silently drop ``fast``: the per-conv
+    dynamic quantize flips XLA's activation layouts, and ANY downstream
+    Pallas custom call (fused head or upsample) then constrains its
+    operand layout, forcing a relayout measured at a 3x whole-model
+    cliff on v5e (318 ms vs 105 at batch 4 — re-confirmed round 4 with
+    clean syncs).  STATIC-quant8 backbones compose fine — no cliff —
+    and static + the full fast path is the fastest serving config
+    measured (40.5 img/s vs 38.0 bf16-fast, labels identical on the
+    probe batch; benchmarks/bench_quant_static2.py).
     """
     if output not in ("labels", "logits"):
         raise ValueError(f"output must be labels|logits, got {output!r}")
-    if getattr(model.backbone, "quant8", False):
+    if getattr(model.backbone, "quant8", False) is True:   # dynamic only
         fast = False
     if normalize_to is not None:
         from scaleprotoseg_tpu.constants import IMAGENET_MEAN, IMAGENET_STD

@@ -205,9 +205,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="static-scale w8a8 int8 layer4/5 convs: "
                    "calibrates activation scales on the first "
                    "--calib-images inputs, then serves with the "
-                   "quantize fused into conv epilogues (the int8 "
-                   "SPEED path — XLA's s8 conv runs 1.44-1.78x bf16 "
-                   "at serving shapes; ops/quant.py)")
+                   "quantize fused into conv epilogues.  Composes "
+                   "with the Pallas fast path (unlike --quant8) — "
+                   "the fastest measured serving config on v5e "
+                   "(40.5 vs 38.0 img/s bf16; ops/quant.py)")
     p.add_argument("--calib-images", type=int, default=8,
                    help="calibration inputs for --quant8-static")
     p.add_argument("--dynamic-batch", action="store_true",

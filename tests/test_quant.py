@@ -318,3 +318,27 @@ def test_calibrate_quant_scales_helper_and_artifact_roundtrip(
     assert "quant_scales" in served.variables
     y2 = np.asarray(served.predict(x))
     np.testing.assert_array_equal(y, y2)
+
+
+def test_load_model_quant8_static_composes_with_fast(tmp_path):
+    # the relayout cliff is DYNAMIC-only (re-measured round 4 with
+    # clean syncs): static quant8 must keep the fused Pallas fast path
+    # — the fastest measured serving config (ops/quant.py table)
+    from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
+    from scaleprotoseg_tpu.model_loading import load_model
+    from scaleprotoseg_tpu.spec import ProtoSpec
+
+    spec = ProtoSpec.equal_allocation(8, 64, num_classes=2, num_scales=4)
+    (tmp_path / "config.gin").write_text(
+        "construct_PPNet.base_architecture = "
+        "'deeplabv2_resnet50_multiscale'\n"
+        "construct_PPNet.prototype_activation_function = 'log'\n"
+        "construct_PPNet.add_on_layers_type = 'deeplab_simple'\n"
+        "deeplabv2_resnet50_features_multiscale.deeplab_n_features = 64\n")
+    ckpt = tmp_path / "toy.ckpt"
+    save_checkpoint(str(ckpt), {}, spec=spec)
+
+    model, _, _ = load_model(str(tmp_path), str(ckpt), fast=True,
+                             quant8="static")
+    assert model.backbone.quant8 == "static"
+    assert model.backbone.fast_aspp is True
