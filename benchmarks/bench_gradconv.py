@@ -22,6 +22,14 @@ the XLA lowering, a custom_vjp on the backbone's conv3x3 is the win;
 if not, the grad-conv is at its roofline and the README's closure
 argument stands with measurements instead of attribution.
 
+Round-4 clean-sync verdicts (ops/gradconv.py ships the winners):
+wgrad: mm 1.39x XLA at layer5, tie at layer4.  dgrad: XLA's native
+transpose-conv form 1.8x the mm at layer5 -> hybrid VJP.  wgrad_im2col
+(all 9 taps concatenated into ONE matmul) is a measured dead end —
+tie at layer4 (the ~35 TFLOP/s there is the small-matmul pipeline
+ceiling at M=8450, K=N=256, not launch overhead) and 0.85x at layer5
+(the 9C concat materialization costs more than the launches saved).
+
 Run on the real TPU chip:  python benchmarks/bench_gradconv.py
 """
 
@@ -56,6 +64,24 @@ def wgrad_mm(x, dy, d):
                                   preferred_element_type=jnp.float32))
         taps.append(jnp.stack(row))
     return jnp.stack(taps).astype(x.dtype)              # (3, 3, C, O)
+
+
+def wgrad_im2col(x, dy, d):
+    """dW as ONE matmul: concatenate the 9 shifted views along the
+    channel axis (im2col) and contract the whole pixel axis at once —
+    exactly the same partial sums as the 9-matmul form, but a single
+    MXU launch (the 9 small per-tap matmuls are launch-bound at
+    layer4's train shapes)."""
+    import jax.numpy as jnp
+    b, h, w_, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    xs = [jax.lax.dynamic_slice(xp, (0, ky * d, kx * d, 0),
+                                (b, h, w_, c))
+          for ky in range(3) for kx in range(3)]
+    xcat = jnp.concatenate(xs, axis=-1)                 # (b,h,w,9C)
+    dw = jnp.einsum("bhwk,bhwo->ko", xcat, dy,
+                    preferred_element_type=jnp.float32)
+    return dw.reshape(3, 3, c, dy.shape[-1]).astype(x.dtype)
 
 
 def dgrad_mm(dy, w, d):
@@ -138,6 +164,14 @@ def main():
                 dy = dgrad_mm(dy, wk, d)
             return dy
 
+        def chain_wgrad_im2col(x, dy):
+            acc = jnp.zeros((3, 3, cin, cout), jnp.float32)
+            for _ in range(CHAIN):
+                dw = wgrad_im2col(x, dy, d)
+                acc = acc + dw.astype(jnp.float32)
+                x = x + dw[0, 0, 0, 0].astype(x.dtype) * 1e-12
+            return acc
+
         # numerical parity of the re-expressions (bf16 operands, fp32
         # accumulation both sides), single op
         ref_w = np.asarray(jax.jit(jax.grad(
@@ -160,6 +194,7 @@ def main():
                 ("wgrad_xla", chain_wgrad_xla, (wk, x, dy)),
                 ("dgrad_xla", chain_dgrad_xla, (x, wk, dy)),
                 ("wgrad_mm", chain_wgrad_mm, (x, dy)),
+                ("wgrad_im2col", chain_wgrad_im2col, (x, dy)),
                 ("dgrad_mm", chain_dgrad_mm, (dy, wk))):
             import jax.numpy as jnp
             # scalar on-device reduce: syncing on the raw chain output

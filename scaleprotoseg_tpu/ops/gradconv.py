@@ -62,7 +62,6 @@ def _bwd(dilation: int, res, dy):
     x, w = res
     d = dilation
     b, h, w_, cin = x.shape
-    cout = dy.shape[-1]
 
     # dW[ky,kx] = X_shift(ky,kx)^T @ dY over the B*H*W pixel axis
     xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
@@ -83,7 +82,6 @@ def _bwd(dilation: int, res, dy):
     # measures FASTER than nine shifted matmuls (168 vs 94 TFLOP/s at
     # layer5 shapes, clean-sync bench_gradconv.py) — the mm form only
     # wins for the WEIGHT grad, so the backward is hybrid.
-    del cout
     w_flip = jnp.swapaxes(w[::-1, ::-1], 2, 3)          # (3,3,Cout,Cin)
     dx = _conv(dy, w_flip, d)
     return dx.astype(x.dtype), dw
