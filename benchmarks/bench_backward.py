@@ -21,6 +21,10 @@ fast_gradconv):
                        Adam/multi-transform update + param write cost)
   step_recipe_headonly head-only grads under the recipe (isolates the
                        backbone backward residue for the next kernel)
+  grads_to_*           per-layer backward localization: grads w.r.t.
+                       cumulative param subsets (head, +aspp, +layer5,
+                       ... +layer1) — consecutive deltas price each
+                       layer's backward slice (see 5c below)
 
 Each line carries XLA cost-analysis FLOPs so ms translate to TFLOP/s.
 Run on the real TPU chip: python benchmarks/bench_backward.py
@@ -33,11 +37,23 @@ import sys
 
 sys.path.insert(0, ".")
 
+# metric name -> --sections tag (grads_to_* rows are section "layers")
+_SECTION_OF = {
+    "fwd_loss": "fwd", "step_xla": "steps", "step_fast": "steps",
+    "step_xla_remat": "steps", "step_fast_remat": "steps",
+    "step_nokld": "steps", "step_headonly": "steps",
+    "step_recipe": "recipe", "step_recipe_headonly": "recipe",
+    "grads_recipe": "recipe", "grads_remat_full_model": "remat",
+}
 
-def main():
+
+def main(sections=("all",)):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    def want(tag):
+        return "all" in sections or tag in sections
 
     from scaleprotoseg_tpu import cli_common
     from scaleprotoseg_tpu.models.factory import construct_PPNet
@@ -85,6 +101,10 @@ def main():
     weights = mhp["weights"]
 
     def timed(name, fn, *args):
+        sec = _SECTION_OF.get(
+            name, "layers" if name.startswith("grads_to_") else "all")
+        if not want(sec):
+            return None
         rate = time_fn_pipelined(fn, *args, iters=8)
         rec = {"metric": name, "ms": round(1e3 / rate, 2)}
         try:
@@ -180,6 +200,64 @@ def main():
 
     timed("grads_recipe", grads_recipe, state_rc, img, tgt)
 
+    # 5c. per-layer backward localization (recipe point).  Grads w.r.t.
+    # CUMULATIVE param subsets, innermost-first: differentiating only
+    # down to layer K lets XLA dead-code-eliminate every dX/dW below it,
+    # so consecutive row deltas price each layer's backward slice
+    # (its dW plus the dX hop that feeds the next row) on top of the
+    # shared forward.  Localizes the backbone-backward residue that
+    # step_recipe - step_recipe_headonly only reports in aggregate.
+    # Subsets respect the REAL joint-phase trainable labels (BN affine
+    # is frozen, `phase_groups`): an earlier draft differentiated BN
+    # scale/bias too and inflated the outer-layer rows ~15%.
+    from flax import traverse_util
+
+    from scaleprotoseg_tpu.train.optim import label_of_path
+
+    joint_labels = set(phase_groups("multiscale", 1, mhp["hp"]))
+    cumulative = [("head", None), ("+aspp", "aspp"),
+                  ("+layer5", "layer5"), ("+layer4", "layer4"),
+                  ("+layer3", "layer3"), ("+layer2", "layer2"),
+                  ("+layer1", "layer1")]
+    flat_all = traverse_util.flatten_dict(variables["params"])
+    included = set()
+
+    for name, sub in cumulative:
+        if sub is not None:
+            included.add(sub)
+        inc = frozenset(included)
+
+        def pick(key, inc=inc):
+            if label_of_path(key) not in joint_labels:
+                return False            # e.g. BN affine: frozen in joint
+            if key[0] != "backbone":
+                return True             # head params: always trainable
+            return key[1] in inc
+
+        train_f = {k: v for k, v in flat_all.items() if pick(k)}
+        frozen_f = {k: v for k, v in flat_all.items() if not pick(k)}
+        trainable = traverse_util.unflatten_dict(train_f)
+        frozen = traverse_util.unflatten_dict(frozen_f)
+
+        @jax.jit
+        def grads_subset(trainable, img, tgt, frozen=frozen):
+            from scaleprotoseg_tpu.train.optim import merge_params
+
+            def loss_fn(trainable_p):
+                params = merge_params(trainable_p, frozen)
+                v = {"params": params}
+                if variables.get("batch_stats") is not None:
+                    v["batch_stats"] = variables["batch_stats"]
+                outputs = recipe_model.apply(v, img, train=True)
+                loss, _ = compute_losses(recipe_model, spec, params,
+                                         outputs, tgt, weights, True)
+                return loss
+
+            g = jax.grad(loss_fn)(trainable)
+            return sum(jnp.vdot(l, l) for l in jax.tree.leaves(g))
+
+        timed(f"grads_to_{name}", grads_subset, trainable, img, tgt)
+
     # 6. remat the backbone
     remat_backbone = jax.checkpoint(
         lambda m, v, x: m.apply(v, x, train=True),
@@ -207,4 +285,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--sections", default="all",
+                   help="comma list of fwd,steps,recipe,layers,remat "
+                   "(default: all)")
+    main(tuple(p.parse_args().sections.split(",")))

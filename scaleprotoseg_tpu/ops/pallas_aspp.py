@@ -264,18 +264,28 @@ def _make_fused_aspp_trainable(rates: Tuple[int, ...], tile_rows: int,
         return f(x, weights, biases), (x, weights)
 
     def bwd(res, g):
-        """Manual transpose of the shifted-matmul ASPP.
+        """Manual transpose of the shifted-matmul ASPP, tap-packed.
 
         Forward per rate r, taps (di, dj):
           y_r[p] += x[p + off] @ W_r[di, dj],  off = ((di-1)r, (dj-1)r)
-        so:
-          dx[q]          += sum g_r[q - off] @ W_r[di, dj]^T
-          dW_r[di, dj]    = sum_p x[p + off]^T g_r[p]
-          db_r            = sum_p g_r[p]
-        Shifts are realized as slices of one zero-padded g / x (the same
-        structure XLA AD derives for models/deeplab.py ASPPBranch).
-        Matmuls follow the input dtype (bf16 on the production path)
-        with fp32 accumulation like the forward.
+        so (substituting q = p + off; both reductions consume the SAME
+        shifted-gradient family G[q, (r,di,dj,f)] := g_r[q - off]):
+          dx[q, c]         = sum_k G[q, k] W_all[k, c]
+          dW_all[c, k]     = sum_q x[q, c] G[q, k]
+          db_r             = sum_p g_r[p]
+
+        Why packed: the tap-by-tap form is 36 K=64 einsums for dx (each
+        writing a full fp32 dx-sized intermediate into the 35-add chain)
+        plus 36 re-reads of the 2048-wide x for dW — measured ~5 ms of
+        pure HBM traffic inside the train step, mis-attributed to the
+        layer5 backward until `bench_backward.py --sections layers`
+        localized it (the dx path is dead code unless the backbone
+        below is trainable).  Building G once (g-side shifts: 64-wide,
+        32x fewer bytes than shifting x) turns both reductions into ONE
+        MXU-shaped matmul each (K = n_rates*9*f), reading x exactly
+        once.  Exact contraction re-ordering — same operands, fp32
+        accumulation (`preferred_element_type`), parity pinned by
+        `test_fused_aspp_trainable_vjp_matches_xla_ad`.
         """
         x, weights = res
         b_, h_, w_, c_ = x.shape
@@ -284,40 +294,33 @@ def _make_fused_aspp_trainable(rates: Tuple[int, ...], tile_rows: int,
         gc = g.astype(cdt)
         xb = x.astype(cdt)
         gp = jnp.pad(gc, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
-        xp = jnp.pad(xb, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
 
-        dx = None
-        dws = []
-        dbs = []
+        slices = []
         for ri, rate in enumerate(rates):
             g_r_pad = gp[..., ri * f_:(ri + 1) * f_]
-            g_r = gc[..., ri * f_:(ri + 1) * f_]
-            dw = [[None] * 3 for _ in range(3)]
             for di in range(3):
                 for dj in range(3):
                     oy, ox = (di - 1) * rate, (dj - 1) * rate
-                    gs = jax.lax.dynamic_slice(
+                    slices.append(jax.lax.dynamic_slice(
                         g_r_pad, (0, halo - oy, halo - ox, 0),
-                        (b_, h_, w_, f_))
-                    t = jnp.einsum(
-                        "bhwf,cf->bhwc", gs,
-                        weights[ri][di, dj].astype(cdt),
-                        preferred_element_type=jnp.float32)
-                    dx = t if dx is None else dx + t
-                    xs = jax.lax.dynamic_slice(
-                        xp, (0, halo + oy, halo + ox, 0),
-                        (b_, h_, w_, c_))
-                    dw[di][dj] = jnp.einsum(
-                        "bhwc,bhwf->cf", xs, g_r,
-                        preferred_element_type=jnp.float32)
-            dws.append(jnp.stack([jnp.stack(row) for row in dw]))
-            dbs.append(jnp.sum(
-                g.astype(jnp.float32)[..., ri * f_:(ri + 1) * f_],
-                axis=(0, 1, 2)))
-        dx = dx.astype(x.dtype)
-        dws = tuple(w0.astype(weights[i].dtype)
-                    for i, w0 in enumerate(dws))
-        dbs = tuple(dbs)
+                        (b_, h_, w_, f_)))
+        G = jnp.concatenate(slices, axis=-1)    # (b,h,w, n_rates*9*f)
+
+        # W_all[(r,di,dj,f), c] = W_r[di,dj][c,f]^T, k-order matching G
+        W_all = jnp.concatenate(
+            [w.astype(cdt).transpose(0, 1, 3, 2).reshape(9 * f_, c_)
+             for w in weights], axis=0)
+        dx = jnp.einsum("bhwk,kc->bhwc", G, W_all,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+
+        dW_all = jnp.einsum("bhwc,bhwk->ck", xb, G,
+                            preferred_element_type=jnp.float32)
+        dW_all = dW_all.reshape(c_, n_rates, 3, 3, f_)
+        dws = tuple(dW_all[:, ri].transpose(1, 2, 0, 3)
+                    .astype(weights[ri].dtype) for ri in range(n_rates))
+        dbs = tuple(jnp.sum(
+            g.astype(jnp.float32)[..., ri * f_:(ri + 1) * f_],
+            axis=(0, 1, 2)) for ri in range(n_rates))
         return dx, dws, dbs
 
     f.defvjp(fwd, bwd)
