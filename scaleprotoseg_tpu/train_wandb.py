@@ -19,17 +19,22 @@ from scaleprotoseg_tpu.train_wandb_multiscale import train as _train
 
 def train(config: str, experiment_name: str, pruned: bool = False,
           data_root=None, num_workers=None, n_devices=None,
+          gin_overrides=None, tpu_recipe: bool = False,
           log=None) -> str:
     if pruned:
         return train_pruned(config, experiment_name, data_root=data_root,
-                            num_workers=num_workers, log=log)
+                            num_workers=num_workers,
+                            gin_overrides=gin_overrides,
+                            tpu_recipe=tpu_recipe, log=log)
     return _train(config, experiment_name, data_root=data_root,
                   variant="single", num_workers=num_workers,
-                  n_devices=n_devices, log=log)
+                  n_devices=n_devices, gin_overrides=gin_overrides,
+                  tpu_recipe=tpu_recipe, log=log)
 
 
 def train_pruned(config: str, experiment_name: str, data_root=None,
-                 num_workers=None, log=None) -> str:
+                 num_workers=None, gin_overrides=None,
+                 tpu_recipe: bool = False, log=None) -> str:
     """Last-layer finetune of a pruned model (ref train_wandb.py --pruned)."""
     import jax.numpy as jnp
 
@@ -40,6 +45,7 @@ def train_pruned(config: str, experiment_name: str, data_root=None,
     from scaleprotoseg_tpu.train.runner import PhaseTrainer, module_hparams
 
     config_file = cli_common.load_config(config)
+    cli_common.apply_overrides(gin_overrides, tpu_recipe)
     hp = cli_common.train_hparams()
     results_dir = os.path.join(settings.results_dir(), experiment_name)
     pruned_ckpt = os.path.join(results_dir, "pruned", "pruned.ckpt")
@@ -49,6 +55,7 @@ def train_pruned(config: str, experiment_name: str, data_root=None,
     model, spec, variables = load_model(results_dir, pruned_ckpt)
     # config was cleared by load_model's re-parse; reload the named config
     cli_common.load_config(config)
+    cli_common.apply_overrides(gin_overrides, tpu_recipe)
     variant = "group" if model.grouped else (
         "multiscale" if spec.num_scales > 1 else "single")
     mhp = module_hparams(variant)
@@ -82,9 +89,11 @@ def main():
     p.add_argument("--pruned", action="store_true")
     p.add_argument("--data-root", default=None)
     p.add_argument("--num-workers", type=int, default=None)
+    cli_common.add_override_args(p)
     a = p.parse_args()
     train(a.config, a.experiment_name, pruned=a.pruned,
-          data_root=a.data_root, num_workers=a.num_workers)
+          data_root=a.data_root, num_workers=a.num_workers,
+          gin_overrides=a.gin, tpu_recipe=a.tpu_recipe)
 
 
 if __name__ == "__main__":

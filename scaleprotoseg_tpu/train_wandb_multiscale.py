@@ -64,8 +64,10 @@ def train(config: str, experiment_name: str,
           data_root: Optional[str] = None, variant: str = "multiscale",
           num_workers: Optional[int] = None, push_artifacts: bool = True,
           n_devices: Optional[int] = None,
-          wandb_experiment: Optional[str] = None, log=None) -> str:
+          wandb_experiment: Optional[str] = None,
+          gin_overrides=None, tpu_recipe: bool = False, log=None) -> str:
     config_file = cli_common.load_config(config)
+    cli_common.apply_overrides(gin_overrides, tpu_recipe)
     hp = cli_common.train_hparams()
     results_dir = cli_common.setup_run_dir(experiment_name, config_file)
     log = log or create_logger(os.path.join(results_dir, "train.log"))
@@ -195,10 +197,12 @@ def main():
     p.add_argument("--wandb-experiment", default=None,
                    help="resume the W&B run with this name "
                         "(ref train_wandb_multiscale.py:167-175)")
+    cli_common.add_override_args(p)
     a = p.parse_args()
     train(a.config, a.experiment_name,
           data_root=a.data_root, num_workers=a.num_workers,
-          n_devices=a.num_devices, wandb_experiment=a.wandb_experiment)
+          n_devices=a.num_devices, wandb_experiment=a.wandb_experiment,
+          gin_overrides=a.gin, tpu_recipe=a.tpu_recipe)
 
 
 if __name__ == "__main__":

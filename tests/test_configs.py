@@ -188,3 +188,32 @@ def test_config_joint_train_step_traces(name):
     loss_s, vals_s = jax.eval_shape(run_eval_and_push, shapes)
     assert loss_s.shape == ()
     assert vals_s.shape == (spec.num_prototypes,)
+
+
+def test_cli_gin_overrides_and_tpu_recipe():
+    """--gin bindings land on top of the config file and --tpu-recipe
+    applies the validated speed knobs (`cli_common.apply_overrides`)."""
+    from scaleprotoseg_tpu import cli_common
+
+    configlib.parse_config_file(
+        os.path.join(CONFIGS, "scaleproto_cityscapes.gin"))
+    assert configlib.query("train", "fast_aspp", False) is False
+
+    applied = cli_common.apply_overrides(
+        ["train.num_devices = 3"], tpu_recipe=True)
+    assert len(applied) == len(cli_common.TPU_RECIPE_BINDINGS) + 1
+    assert configlib.query("train", "compute_dtype") == "bfloat16"
+    assert configlib.query("train", "fast_aspp") is True
+    assert configlib.query("train", "fast_gradconv") is True
+    assert configlib.query("train", "num_devices") == 3
+
+    # later --gin wins over the recipe (user escape hatch)
+    cli_common.apply_overrides(["train.fast_gradconv = False"])
+    assert configlib.query("train", "fast_gradconv") is False
+
+    # the shared argparse surface round-trips
+    import argparse
+    p = argparse.ArgumentParser()
+    cli_common.add_override_args(p)
+    a = p.parse_args(["--tpu-recipe", "--gin", "train.num_devices = 1"])
+    assert a.tpu_recipe and a.gin == ["train.num_devices = 1"]
