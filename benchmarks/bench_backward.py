@@ -115,6 +115,13 @@ def main(sections=("all",)):
             if flops:
                 rec["tflops_per_s"] = round(flops * rate / 1e12, 1)
                 rec["gflops"] = round(flops / 1e9, 1)
+            # HBM roofline side: XLA's modeled bytes moved.  gb_per_s
+            # near the chip's HBM bandwidth (v5e ~819 GB/s) marks a
+            # bandwidth-bound row — the layer1-3 backward tail's proof.
+            bytes_ = float(cost.get("bytes accessed", 0.0))
+            if bytes_:
+                rec["gbytes"] = round(bytes_ / 1e9, 2)
+                rec["gb_per_s"] = round(bytes_ * rate / 1e9, 0)
         except Exception:
             pass
         print(json.dumps(rec), flush=True)

@@ -38,7 +38,12 @@ wire bytes of bf16; `profiling.sync` now fetches one element):
 
 `models/deeplab.py` applies quant8 to the dilated layer4/5 only (84%
 of the FLOPs); quantizing the HBM-bound stem/layer2/3 made the whole
-model 3x slower.
+model 3x slower (dynamic).  The STATIC form was re-probed per layer at
+serving shapes (`benchmarks/bench_quant_layers.py`, isolated same-run
+A/B): layer2 0.70x (a loss), layer3 0.98x (a wash), layer5 control
+1.26x — layer2/3 run at 23-33 TFLOP/s, bandwidth-bound, so int8
+compute buys nothing there and the epilogue quantize still costs a
+write.  The layer4/5 scope is final, not provisional.
 
 Composition: the DYNAMIC form's quantize makes XLA lay activations
 out batch-second-minor, and ANY downstream Pallas custom call's
