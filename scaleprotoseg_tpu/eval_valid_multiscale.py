@@ -97,7 +97,8 @@ def run_evaluation(model_name: str, training_phase: str,
                    results_root: Optional[str] = None,
                    fast: bool = True,
                    fast_output: Optional[bool] = None,
-                   shape_multiple: Optional[int] = None) -> dict:
+                   shape_multiple: Optional[int] = None,
+                   quant8=False, calib_images: int = 8) -> dict:
     if shape_multiple is None and data_type == "ade":
         # ADE's aspect-preserving short-side-512 protocol yields ~100s of
         # distinct eval shapes; each costs a full-forward XLA compile
@@ -120,7 +121,12 @@ def run_evaluation(model_name: str, training_phase: str,
     model_path = os.path.join(results_root or settings.results_dir(),
                               model_name)
     checkpoint = resolve_checkpoint(model_path, training_phase)
-    out_dir = os.path.join(model_path, "evaluation", training_phase)
+    # quantized evals get their own results dir: the point of running
+    # them is to compare against the bf16 numbers, not overwrite them
+    eval_name = training_phase + (
+        "-quant8static" if quant8 == "static" else
+        "-quant8" if quant8 else "")
+    out_dir = os.path.join(model_path, "evaluation", eval_name)
     os.makedirs(out_dir, exist_ok=True)
     log = create_logger(os.path.join(out_dir, "eval.log"))
     log(f"Loading model from {checkpoint}")
@@ -133,7 +139,16 @@ def run_evaluation(model_name: str, training_phase: str,
     # device runs the kernel on its batch shard, so multi-chip eval
     # keeps both the data-parallel fan-out and the fused head.
     model, spec, variables = load_model(model_path, checkpoint,
-                                        dtype=jnp.bfloat16, fast=fast)
+                                        dtype=jnp.bfloat16, fast=fast,
+                                        quant8=quant8)
+    if quant8 is True and fast_output is not False:
+        # dynamic quant8 flips XLA's activation layouts; ANY downstream
+        # Pallas call (here the fused upsample+argmax) then forces a
+        # relayout measured at a 3x whole-model cliff (ops/quant.py) —
+        # static quant8 composes cliff-free and keeps the fast path
+        log("dynamic quant8: forcing the XLA upsample path "
+            "(Pallas relayout cliff; use --quant8-static for speed)")
+        fast_output = False
     # load_model parsed the run's config.gin; training_mesh queries the
     # pinned device count / slice layout from it
     mesh = cli_common.training_mesh()
@@ -145,6 +160,29 @@ def run_evaluation(model_name: str, training_phase: str,
     if limit:
         files = files[:limit]
     log(f"Evaluating {len(files)} val images ({data_type})")
+
+    def load_one(name):
+        img = np.load(os.path.join(img_dir, name + ".npy"))
+        if margin:
+            img = img[margin:-margin, margin:-margin]
+        ann = np.load(os.path.join(ann_dir, name + ".npy"))
+        if ann.ndim == 3:
+            ann = ann[..., 0]
+        ann = convert_targets(ann, data_type).astype(np.int32)
+        return _prepare_image(img, ann.shape, data_type,
+                              shape_multiple), ann
+
+    if quant8 == "static":
+        # PTQ calibration on the first val images at their real eval
+        # shapes, exactly like the serving path (model_loading.
+        # calibrate_quant_scales); the calibrated variables then run the
+        # full protocol, so the reported mIoU/pixel-acc delta vs the
+        # bf16 eval dir IS the accuracy cost of deploying --quant8-static
+        from scaleprotoseg_tpu.model_loading import calibrate_quant_scales
+        calib = [load_one(n)[0][None].astype(np.float32)
+                 for n in files[:max(1, calib_images)]]
+        variables = calibrate_quant_scales(model, variables, calib,
+                                           log=log)
     if mesh.devices.size > 1 and batch_size % mesh.devices.size:
         batch_size = batch_size * mesh.devices.size
         log(f"data-parallel x{mesh.devices.size}: eval batch "
@@ -182,17 +220,6 @@ def run_evaluation(model_name: str, training_phase: str,
         anns = np.stack(pending_anns)
         evaluator.update(variables, images.astype(np.float32), anns)
         pending_imgs, pending_anns = [], []
-
-    def load_one(name):
-        img = np.load(os.path.join(img_dir, name + ".npy"))
-        if margin:
-            img = img[margin:-margin, margin:-margin]
-        ann = np.load(os.path.join(ann_dir, name + ".npy"))
-        if ann.ndim == 3:
-            ann = ann[..., 0]
-        ann = convert_targets(ann, data_type).astype(np.int32)
-        return _prepare_image(img, ann.shape, data_type,
-                              shape_multiple), ann
 
     # bounded prefetch of the disk loads/ID conversion so host IO
     # overlaps the (asynchronously dispatched) device evaluation without
@@ -412,11 +439,26 @@ def main():
                    action="store_false",
                    help="force the reference-exact XLA upsample path "
                    "(the Zenodo mIoU-parity protocol)")
+    q = p.add_mutually_exclusive_group()
+    q.add_argument("--quant8-static", dest="quant8", action="store_const",
+                   const="static", default=False,
+                   help="evaluate the calibrated-int8 serving path "
+                   "(PTQ layer4/5, scales calibrated on the first "
+                   "--calib-images val images) — results land in "
+                   "evaluation/<phase>-quant8static so the mIoU delta "
+                   "vs the bf16 dir is the deployment accuracy cost")
+    q.add_argument("--quant8", dest="quant8", action="store_true",
+                   help="evaluate the dynamic w8a8 int8 path (the "
+                   "calibration-free memory knob; forces the XLA "
+                   "output path — see ops/quant.py)")
+    p.add_argument("--calib-images", type=int, default=8,
+                   help="calibration images for --quant8-static")
     a = p.parse_args()
     run_evaluation(a.model_name, a.training_phase, a.batch_size,
                    a.data_type, margin=a.margin, limit=a.limit,
                    data_root=a.data_root, fast_output=a.fast_output,
-                   shape_multiple=a.shape_multiple)
+                   shape_multiple=a.shape_multiple, quant8=a.quant8,
+                   calib_images=a.calib_images)
 
 
 if __name__ == "__main__":

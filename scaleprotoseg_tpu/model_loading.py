@@ -99,7 +99,10 @@ def load_model(model_path: str, checkpoint_path: str,
     STATIC quant8 has no cliff and COMPOSES with ``fast`` — the
     fastest measured serving config (40.5 img/s vs 38.0 bf16-fast,
     benchmarks/bench_quant_static2.py).  ``make_serving_fn`` applies
-    the same dynamic-only guard to its ``fast`` flag."""
+    the same dynamic-only guard to its ``fast`` flag.  To measure the
+    accuracy cost before deploying int8, run the eval CLI with
+    ``--quant8-static`` (eval_valid_multiscale.py): same graph, full
+    mIoU protocol, results in a separate ``evaluation/`` dir."""
     from scaleprotoseg_tpu.cli_common import enable_compilation_cache
     enable_compilation_cache()
     params, batch_stats, meta = load_checkpoint(checkpoint_path)

@@ -111,11 +111,22 @@ class PhaseTrainer:
                                           backward for the dilated
                                           layer4/5 convs (2-4x XLA's
                                           grad-conv, bench_gradconv.py)
+      train.profile_steps = N            # capture one jax.profiler
+                                          trace of N steady-state steps
+                                          per training phase (each
+                                          phase jits a different step
+                                          program; the first 3 steps —
+                                          compile + warmup — are
+                                          skipped) to <run>/profile —
+                                          open with TensorBoard/XProf
     """
 
     def __init__(self, model, spec, variant: str, model_dir: str,
                  hparams: Dict, logger=None, mesh=None, log=print):
         self.remat = bool(configlib.query("train", "remat", False))
+        self.profile_steps = int(
+            configlib.query("train", "profile_steps", 0) or 0)
+        self._profiled = False
         dt_name = configlib.query("train", "compute_dtype", None)
         fast = bool(configlib.query("train", "fast_aspp", False))
         fast_gc = bool(configlib.query("train", "fast_gradconv", False))
@@ -289,6 +300,7 @@ class PhaseTrainer:
         acc_train = MetricAccumulator()
         validations_without_improvement = 0
         stop = False
+        profiling_until = None
         # Metric scalars stay on device and are fetched in bulk: a
         # device_get per step would serialize training on the host
         # round-trip (the step itself keeps dispatching asynchronously).
@@ -300,9 +312,18 @@ class PhaseTrainer:
                     break
                 batch = assemble_global_batch(
                     (np.asarray(image), np.asarray(target)), self.mesh)
+                if (self.profile_steps and not self._profiled
+                        and steps == steps0 + 3 and self.is_main):
+                    # 3 steps in, the step_fn compile and data warmup
+                    # are behind us: the trace sees steady state only
+                    profiling_until = self._profile_start(steps)
                 state, metrics = step_fn(state, *batch)
                 fetcher.add(metrics)
                 steps += 1
+                if profiling_until is not None and \
+                        steps >= profiling_until:
+                    self._profile_stop(metrics)
+                    profiling_until = None
 
                 if preempt.should_stop(global_step0 + steps):
                     fetcher.drain()
@@ -364,6 +385,8 @@ class PhaseTrainer:
                         self.log("Early stopping triggered")
                         stop = True
                         break
+        if profiling_until is not None:  # phase ended mid-trace
+            self._profile_stop(None)
         try:  # phase-end barrier for the async state checkpoint
             from scaleprotoseg_tpu.checkpoints.orbax_io import \
                 wait_for_checkpoints
@@ -376,6 +399,37 @@ class PhaseTrainer:
                      "resume would restart from an older step")
         return PhaseResult(state=state, best_acc=self.best_acc,
                            steps_done=steps)
+
+    # ------------------------------------------------------------------
+    def _profile_start(self, steps: int):
+        """``train.profile_steps = N``: one jax.profiler trace of N
+        steady-state steps per phase (each phase jits a different step
+        program), written to <run>/profile in XProf/TensorBoard format.
+        Process 0 only; phases too short to reach steady state (<4
+        steps) are skipped."""
+        out = os.path.join(self.model_dir, "profile")
+        try:
+            jax.profiler.start_trace(out)
+        except Exception as e:  # hosted platforms may not expose it
+            self.log(f"profiler trace unavailable ({e})")
+            self._profiled = True
+            return None
+        self.log(f"profiling steps {steps + 1}.."
+                 f"{steps + self.profile_steps} -> {out}")
+        return steps + self.profile_steps
+
+    def _profile_stop(self, metrics):
+        self._profiled = True
+        try:
+            if metrics is not None:
+                # hosted axon: block_until_ready returns before execution
+                # finishes — a small fetch is the real sync, so the trace
+                # covers the full window's device work
+                jax.device_get(metrics)
+            jax.profiler.stop_trace()
+            self.log("profiler trace written")
+        except Exception as e:  # pragma: no cover
+            self.log(f"profiler stop failed ({e})")
 
     # ------------------------------------------------------------------
     def _validate(self, state, eval_fn, val_loader,

@@ -30,10 +30,16 @@ def test_full_prototype_phase_pipeline(dataset_root, tmp_path):
     cfg.write_text(TINY_EM_CONFIG)
 
     final = train(str(cfg), "e2e_run", data_root=dataset_root,
-                  num_workers=2)
+                  num_workers=2,
+                  gin_overrides=["train.profile_steps = 2"])
     assert os.path.exists(final)
 
     results_dir = os.path.dirname(os.path.dirname(final))
+    # train.profile_steps captured a steady-state XProf trace
+    trace_files = []
+    for dirpath, _, names in os.walk(os.path.join(results_dir, "profile")):
+        trace_files += [n for n in names if n.endswith(".xplane.pb")]
+    assert trace_files, "profiler trace missing under <run>/profile"
     ckpt_dir = os.path.join(results_dir, "checkpoints")
     for name in ("nopush_last.ckpt", "push_last.ckpt", "push_final.ckpt",
                  "push_last.ckpt.json"):

@@ -186,3 +186,72 @@ def test_ade_eval_shape_protocol():
     assert ade_eval_shape(512, 683, 64) == (512, 704)  # 683 -> 10.67 -> 11*64
     # never rounds to zero
     assert ade_eval_shape(512, 520, 512) == (512, 512)
+
+
+def test_eval_quant8_rejects_non_deeplab(trained_run):
+    # --quant8 wiring: the flag reaches load_model, which refuses the
+    # shared run's UNet backbone instead of silently evaluating fp
+    results, root = trained_run
+    from scaleprotoseg_tpu.eval_valid_multiscale import run_evaluation
+    with pytest.raises(ValueError, match="quant8"):
+        run_evaluation("shared_run", "push_final", batch_size=2,
+                       data_type="em", data_root=root,
+                       results_root=results, quant8=True)
+
+
+@pytest.mark.slow
+def test_eval_quant8_static_e2e(trained_run, tmp_path):
+    """--quant8-static end-to-end: the eval CLI calibrates PTQ scales on
+    the first --calib-images val images and runs the full protocol on
+    the int8 serving graph, writing to evaluation/<phase>-quant8static
+    so the mIoU delta vs the bf16 dir is the deployment accuracy cost."""
+    results, root = trained_run
+    import jax
+    import jax.numpy as jnp
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import synthetic_init
+    from scaleprotoseg_tpu.checkpoints.io import save_checkpoint
+    from scaleprotoseg_tpu.model_loading import load_model
+    from scaleprotoseg_tpu.spec import ProtoSpec
+    from scaleprotoseg_tpu.eval_valid_multiscale import run_evaluation
+
+    run = os.path.join(results, "q8run")
+    os.makedirs(os.path.join(run, "checkpoints"), exist_ok=True)
+    with open(os.path.join(run, "config.gin"), "w") as f:
+        f.write(
+            "construct_PPNet.base_architecture = "
+            "'deeplabv2_resnet50_multiscale'\n"
+            "construct_PPNet.prototype_activation_function = 'log'\n"
+            "construct_PPNet.add_on_layers_type = 'deeplab_simple'\n"
+            "deeplabv2_resnet50_features_multiscale."
+            "deeplab_n_features = 16\n")
+    spec = ProtoSpec.equal_allocation(8, 16, num_classes=2, num_scales=4)
+    ckpt = os.path.join(run, "checkpoints", "push_final.ckpt")
+    save_checkpoint(ckpt, {}, spec=spec)
+    # load_model's exact construction -> matching synthetic variables
+    model, _, _ = load_model(run, ckpt)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k: model.init(k, x),
+                            jax.random.PRNGKey(0))
+    variables = synthetic_init(shapes)
+    save_checkpoint(ckpt, variables["params"],
+                    variables.get("batch_stats"), spec=spec)
+
+    res_bf16 = run_evaluation("q8run", "push_final", batch_size=2,
+                              data_type="em", data_root=root,
+                              results_root=results)
+    res = run_evaluation("q8run", "push_final", batch_size=2,
+                         data_type="em", data_root=root,
+                         results_root=results, quant8="static",
+                         calib_images=2)
+    assert 0.0 <= res["mean_iou"] <= 1.0
+    out_dir = os.path.join(results, "q8run", "evaluation",
+                           "push_final-quant8static")
+    assert os.path.exists(os.path.join(out_dir, "mean_iou.txt"))
+    # int8 is a rounding of the same function: on a synthetic-weights
+    # model both paths must land in the same accuracy regime
+    assert abs(res["mean_iou"] - res_bf16["mean_iou"]) < 0.2
+    # the calibration log line is the evidence the scales were fitted
+    with open(os.path.join(out_dir, "eval.log")) as f:
+        assert "quant8 calibration: 2 batches" in f.read()
