@@ -85,6 +85,35 @@ def main():
             "flip_rate": round(flips / total, 8),
         }), flush=True)
 
+    # --quant8-static eval arm: the int8 serving graph under the same
+    # evaluator (what `eval_valid_multiscale --quant8-static` runs) —
+    # quantifies how much faster users can measure their PTQ accuracy
+    from scaleprotoseg_tpu.model_loading import calibrate_quant_scales
+    model_q8, _ = _flagship(tiny=False, grouped=True, fast_aspp=True,
+                            quant8="static")
+    batch = 2
+    images = jnp.asarray(rng.random((batch, 1024, 2048, 3)), jnp.bfloat16)
+    targets = jnp.asarray(rng.integers(0, 20, (batch, 1024, 2048)),
+                          jnp.int32)
+    variables_q8 = calibrate_quant_scales(
+        model_q8, variables, [np.asarray(images, np.float32)])
+    ev = SegEvaluator(model_q8, spec.num_classes, fast_output=True)
+    ev.update(variables_q8, images, targets)
+    ev.result()
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ev.update(variables_q8, images, targets)
+    ev._flush()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "eval_step_1024x2048_quant8_static", "batch": batch,
+        "fast_output": True,
+        "value": round(batch * iters / dt, 2),
+        "unit": "images/sec/chip",
+        "ms_per_image": round(dt / iters / batch * 1e3, 2),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

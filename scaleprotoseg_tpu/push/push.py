@@ -119,6 +119,14 @@ def push_prototypes(model, variables: Dict, spec: ProtoSpec, push_loader,
         SURVEY.md §3.3) shards each batch's image axis over it, so the
         full-split forward fans out data-parallel (a batch of
         ``mesh_size`` full-res images runs one image per chip).
+
+    Precision: push always runs the config's (default fp32) XLA forward,
+    even when training opted into the bf16 recipe — the pushed vectors
+    are then the HIGHER-precision projection of the winning patches, and
+    the recipe's bf16 train step sees a distance of ~0 + bf16 rounding
+    at the pushed patch (the same rounding it applies everywhere else).
+    Under the parity default both forwards are identical and the
+    reference's exact-zero push property holds bit-for-bit.
     """
     if getattr(push_loader, "shuffle", False):
         raise ValueError(
