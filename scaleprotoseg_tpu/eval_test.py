@@ -47,7 +47,7 @@ def run_evaluation(model_name: str, training_phase: str,
                    margin: int = 0, limit: Optional[int] = None,
                    data_root: Optional[str] = None,
                    results_root: Optional[str] = None,
-                   fast: bool = True) -> str:
+                   fast: bool = True, fp32: bool = False) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -59,8 +59,11 @@ def run_evaluation(model_name: str, training_phase: str,
     os.makedirs(out_dir, exist_ok=True)
     log = create_logger(os.path.join(out_dir, "eval.log"))
     log(f"Loading model from {checkpoint}")
-    model, spec, variables = load_model(model_path, checkpoint,
-                                        dtype=jnp.bfloat16, fast=fast)
+    # --fp32 = reference-parity forward (fp32/XLA; the fused ASPP only
+    # engages at bf16), for submission-grade test predictions
+    model, spec, variables = load_model(
+        model_path, checkpoint,
+        dtype=jnp.float32 if fp32 else jnp.bfloat16, fast=fast)
 
     dataset_path = data_root or settings.data_path(data_type)
     img_dir = os.path.join(dataset_path, f"img_with_margin_{margin}",
@@ -122,10 +125,13 @@ def main():
     p.add_argument("--margin", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--data-root", default=None)
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32/XLA forward (reference parity; default "
+                   "bf16 is the speed path)")
     a = p.parse_args()
     run_evaluation(a.model_name, a.training_phase, a.batch_size,
                    pascal=a.pascal, margin=a.margin, limit=a.limit,
-                   data_root=a.data_root)
+                   data_root=a.data_root, fp32=a.fp32)
 
 
 if __name__ == "__main__":

@@ -98,7 +98,8 @@ def run_evaluation(model_name: str, training_phase: str,
                    fast: bool = True,
                    fast_output: Optional[bool] = None,
                    shape_multiple: Optional[int] = None,
-                   quant8=False, calib_images: int = 8) -> dict:
+                   quant8=False, calib_images: int = 8,
+                   fp32: bool = False) -> dict:
     if shape_multiple is None and data_type == "ade":
         # ADE's aspect-preserving short-side-512 protocol yields ~100s of
         # distinct eval shapes; each costs a full-forward XLA compile
@@ -138,9 +139,15 @@ def run_evaluation(model_name: str, training_phase: str,
     # (ops/pallas_aspp.py fused_aspp_sharded): on a >1-device mesh each
     # device runs the kernel on its batch shard, so multi-chip eval
     # keeps both the data-parallel fan-out and the fused head.
-    model, spec, variables = load_model(model_path, checkpoint,
-                                        dtype=jnp.bfloat16, fast=fast,
-                                        quant8=quant8)
+    # fp32: the reference-parity forward (the reference evals in torch
+    # fp32) — the fused Pallas ASPP only engages at bf16, so this also
+    # forces the XLA compute path; combine with --exact-output for the
+    # fully reference-exact Zenodo mIoU protocol.  Default bf16: the
+    # speed path (argmax flips vs fp32 are near-tie pixels only).
+    model, spec, variables = load_model(
+        model_path, checkpoint,
+        dtype=jnp.float32 if fp32 else jnp.bfloat16, fast=fast,
+        quant8=quant8)
     if quant8 is True and fast_output is not False:
         # dynamic quant8 flips XLA's activation layouts; ANY downstream
         # Pallas call (here the fused upsample+argmax) then forces a
@@ -453,12 +460,17 @@ def main():
                    "output path — see ops/quant.py)")
     p.add_argument("--calib-images", type=int, default=8,
                    help="calibration images for --quant8-static")
+    p.add_argument("--fp32", action="store_true",
+                   help="evaluate with the fp32/XLA forward (the "
+                   "reference evals in fp32; with --exact-output this "
+                   "is the fully reference-exact Zenodo mIoU protocol; "
+                   "default bf16 is the speed path)")
     a = p.parse_args()
     run_evaluation(a.model_name, a.training_phase, a.batch_size,
                    a.data_type, margin=a.margin, limit=a.limit,
                    data_root=a.data_root, fast_output=a.fast_output,
                    shape_multiple=a.shape_multiple, quant8=a.quant8,
-                   calib_images=a.calib_images)
+                   calib_images=a.calib_images, fp32=a.fp32)
 
 
 if __name__ == "__main__":

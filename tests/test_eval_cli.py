@@ -255,3 +255,16 @@ def test_eval_quant8_static_e2e(trained_run, tmp_path):
     # the calibration log line is the evidence the scales were fitted
     with open(os.path.join(out_dir, "eval.log")) as f:
         assert "quant8 calibration: 2 batches" in f.read()
+
+
+def test_eval_fp32_reference_protocol(trained_run):
+    """--fp32 --exact-output: the Zenodo-parity arm — fp32/XLA forward
+    (the reference evals in torch fp32) + XLA upsample path."""
+    results, root = trained_run
+    from scaleprotoseg_tpu.eval_valid_multiscale import run_evaluation
+    res = run_evaluation("shared_run", "push_final", batch_size=2,
+                         data_type="em", data_root=root,
+                         results_root=results, fp32=True,
+                         fast_output=False, limit=2)
+    assert 0.0 <= res["mean_iou"] <= 1.0
+    assert 0.0 <= res["pixel_accuracy"] <= 1.0
