@@ -569,3 +569,28 @@ def test_serve_cli_quant8_static(tiny, tmp_path):
         assert served.meta["extra"]["quant8"] == "static"
     finally:
         ml.load_model, ml.resolve_checkpoint = orig_load, orig_resolve
+
+
+def test_mesh_predict_quant8_static_matches_single_device(tiny):
+    """Static-int8 serving composes with the DP mesh: calibrated
+    quant_scales replicate like params, the int8 convs partition on
+    batch like any XLA op, and the 8-device prediction is bit-equal to
+    the single-device jit (what `serve --mesh N --quant8-static` runs)."""
+    import dataclasses
+
+    from scaleprotoseg_tpu.model_loading import calibrate_quant_scales
+    from scaleprotoseg_tpu.parallel.mesh import create_mesh
+
+    model, _, variables = tiny
+    model_q8 = dataclasses.replace(
+        model, backbone=dataclasses.replace(model.backbone,
+                                            quant8="static"))
+    mesh = create_mesh()
+    n = mesh.devices.size
+    x = _images(n, rng_seed=13)
+    variables_q8 = calibrate_quant_scales(model_q8, variables, [x[:2]])
+    single = np.asarray(
+        jax.jit(make_serving_fn(model_q8))(variables_q8, x))
+    out = make_mesh_predict(model_q8, variables_q8, mesh)(x)
+    assert len(out.sharding.device_set) == n
+    np.testing.assert_array_equal(np.asarray(out), single)
