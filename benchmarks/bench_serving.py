@@ -16,7 +16,22 @@ measures:
      DEVICE preprocessing (raw uint8 on the wire, normalization in
      the served graph, uint8 labels back): 4x less data each way and
      no host float pass;
-  5. ``quant8_img_per_s``    — the shipped quant8 config (dynamic
+  5. ``wire_roofline_img_per_s`` — the transfer ceiling of THIS
+     host<->device link for exactly the pipeline's traffic (uint8
+     input batch up, uint8 label batch down), measured with raw
+     ``device_put``/``device_get``.  The link is full duplex, so the
+     ceiling is the slower direction alone (the serial in+out model is
+     also reported — the pipeline measurably beats it).  On the hosted
+     tunnel this wire — not host CPU — is what bounds the streaming
+     numbers; a production TPU host feeds over PCIe (tens of GB/s), so
+     the honest closure is "pipeline rate / wire roofline", not the
+     absolute img/s.  The line carries that ratio and the measured
+     link MB/s;
+  6. ``pipeline_npy_disk_img_per_s`` — the u8 stream with real disk
+     input: uint8 ``.npy`` files read from a directory through the
+     serve CLI's cheapest wire format (bench_input.py prices this
+     decode at ~0.9 ms/img — it should track the in-memory arm);
+  7. ``quant8_img_per_s``    — the shipped quant8 config (dynamic
      w8a8 int8 layer4/5, fully-XLA path — exactly what
      ``load_model(quant8=True, fast=True)`` builds).  Expected BELOW
      bf16 — quant8 is a memory/accuracy knob (`ops/quant.py` has the
@@ -102,7 +117,7 @@ def main():
 
         n_stream = batch * 8
 
-        def run_pipeline(predict, preprocess, metric):
+        def run_pipeline(predict, preprocess, metric, ratio_to=None):
             engine = ServingEngine(predict, batch, preprocess=preprocess,
                                    workers=2)
             for _ in engine.run((f"w{i}", i) for i in range(batch)):
@@ -111,9 +126,13 @@ def main():
             count = sum(1 for _ in engine.run(
                 (f"s{i}", i) for i in range(n_stream)))
             dt = time.perf_counter() - t0
-            print(json.dumps({"metric": metric,
-                              "value": round(count / dt, 3),
-                              "images": count}))
+            rate = count / dt
+            line = {"metric": metric, "value": round(rate, 3),
+                    "images": count}
+            if ratio_to:
+                line["vs_wire"] = round(rate / ratio_to, 3)
+            print(json.dumps(line))
+            return rate
 
         host_pre = lambda i: np.asarray(  # noqa: E731
             data[i % batch], jnp.bfloat16)
@@ -123,9 +142,64 @@ def main():
         raw = (data * 255).astype(np.uint8)
         fn_u8 = jax.jit(make_serving_fn(model, fast=on_tpu,
                                         normalize_to=jnp.bfloat16))
+        u8_rate = run_pipeline(lambda xb: fn_u8(variables, xb),
+                               lambda i: raw[i % batch],
+                               "serving_pipeline_u8_img_per_s")
+
+        # Transfer roofline of this host<->device link for the u8
+        # pipeline's exact traffic: raw uint8 batch up (measured as
+        # half of a put+get round trip of the input — the link is
+        # symmetric), uint8 label batch down (a plain device_get of a
+        # resident label batch).  On the hosted tunnel this wire — not
+        # host CPU — bounds the streaming arms above; a production TPU
+        # host feeds over PCIe, so report the pipeline as a fraction
+        # of the wire ceiling rather than pretending the absolute
+        # number generalizes.
+        def timed(f, reps=6):
+            f()  # warmup (first slice fetch may compile a gather)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                f()
+            return (time.perf_counter() - t0) / reps
+
+        labels_dev = fn_u8(variables, jnp.asarray(raw))
+        np.asarray(jax.device_get(labels_dev))  # finish compute first
+        t_in = timed(lambda: jax.device_get(jax.device_put(raw))) / 2
+        # device_get caches the host copy on the jax.Array, so repeat
+        # fetches of the same array are free; a trivial on-device copy
+        # (+0) makes each iteration a fresh transfer.
+        copy_fn = jax.jit(lambda a: a + 0)
+        t_out = timed(lambda: np.asarray(jax.device_get(
+            copy_fn(labels_dev))))
+        # The link is full duplex (measured: the pipeline beats the
+        # serial in+out sum), so the steady-state ceiling is set by the
+        # slower direction, with uploads overlapping downloads.
+        wire_ceiling = batch / max(t_in, t_out)
+        label_bytes = int(np.prod(labels_dev.shape)
+                          ) * np.dtype(labels_dev.dtype).itemsize
+        mb_moved = (raw.nbytes + label_bytes) / 2**20
+        print(json.dumps({
+            "metric": "serving_wire_roofline_img_per_s",
+            "value": round(wire_ceiling, 3),
+            "t_in_ms": round(t_in * 1e3, 1),
+            "t_out_ms": round(t_out * 1e3, 1),
+            "serial_wire_img_per_s": round(batch / (t_in + t_out), 3),
+            "link_mb_per_s": round(mb_moved / (t_in + t_out), 1),
+            "pipeline_u8_vs_wire": round(u8_rate / wire_ceiling, 3)}))
+
+        # Real-disk input: uint8 .npy files (the serve CLI's cheapest
+        # wire format) streamed through the same engine.
+        npy_dir = os.path.join(tmp, "stream_npy")
+        os.makedirs(npy_dir)
+        paths = []
+        for i in range(batch):
+            p = os.path.join(npy_dir, f"s{i}.npy")
+            np.save(p, raw[i])
+            paths.append(p)
         run_pipeline(lambda xb: fn_u8(variables, xb),
-                     lambda i: raw[i % batch],
-                     "serving_pipeline_u8_img_per_s")
+                     lambda i: np.load(paths[i % batch]),
+                     "serving_pipeline_npy_disk_img_per_s",
+                     ratio_to=wire_ceiling)
 
     # the shipped quant8 config is fully-XLA: the int8 activation
     # layout + any Pallas call's layout constraint measured a 3x
