@@ -90,6 +90,13 @@ class AddOnLayers(nn.Module):
     @nn.compact
     def __call__(self, x):
         kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        # Enter the compute dtype BEFORE the nonlinearity: the ASPP
+        # accumulates fp32, and sigmoid-of-fp32 makes XLA keep a
+        # full-resolution fp32 residual for the backward (at EM a
+        # 1 GB/step f32[2,512,512,256] read+write in the r5 trace).
+        # In bf16 the residual halves; the fp32 default is untouched.
+        if self.dtype != jnp.float32:
+            x = x.astype(self.dtype)
         if self.add_on_type == "deeplab_simple":
             return nn.sigmoid(x)
         if self.add_on_type.startswith("bottleneck"):
@@ -238,8 +245,20 @@ class PPNet(nn.Module):
     def conv_features(self, x, train: bool = False, train_bn: bool = False):
         feats = self.backbone_features(x, train=train, train_bn=train_bn)
         if isinstance(feats, list):
-            return [self.add_on(f) for f in feats]
-        return self.add_on(feats)
+            return [self._cast(self.add_on(f)) for f in feats]
+        return self._cast(self.add_on(feats))
+
+    def _cast(self, f):
+        """Keep features in the compute dtype after the add-on sigmoid.
+
+        The ASPP head accumulates in fp32 and the sigmoid follows, so
+        without this cast the feature map entering the prototype head is
+        fp32 even under the bf16 recipe — at the EM config that is a
+        full-resolution f32[B,512,512,256] tensor whose extra bytes the
+        r5 trace priced at ~4 ms/step of pure HBM traffic, and it pushes
+        the distance cross-term off the bf16 MXU path
+        (ops/prototype.py).  fp32 default path is untouched."""
+        return f.astype(self.dtype) if self.dtype != jnp.float32 else f
 
     # ------------------------------------------------------------------
     # Prototype head

@@ -74,13 +74,23 @@ def jax_resize(x, height, width):
 
 
 class UNetASPP(nn.Module):
-    """U-Net body + ASPP head (sum or concat across atrous rates)."""
+    """U-Net body + ASPP head (sum or concat across atrous rates).
+
+    ``fast_aspp`` routes the head through the fused one-pass Pallas
+    kernel (ops/pallas_aspp.py; differentiable via its custom VJP).
+    Measured at the EM shapes (512^2, C=64 decoder features) it LOSES
+    ~8 ms/step in training — the head runs at full input resolution,
+    so the tap-packed VJP materializes a (B,H,W,36F) gradient there —
+    and the train runner therefore never enables it for this backbone
+    (train/runner.py); the knob exists for experimentation and
+    forward-only use (benchmarks/bench_trace_step.py, r5)."""
 
     out_features: int
     rates: Sequence[int] = (6, 12, 18, 24)
     multiscale: bool = True
     base: int = 64
     dtype: jnp.dtype = jnp.float32
+    fast_aspp: bool = False
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
@@ -88,7 +98,8 @@ class UNetASPP(nn.Module):
                                name="body")(x, train_bn)
         return ASPP(self.out_features, self.rates,
                     "concat" if self.multiscale else "sum",
-                    dtype=self.dtype, name="aspp")(h)
+                    dtype=self.dtype, fast=self.fast_aspp,
+                    name="aspp")(h)
 
 
 class UNet(nn.Module):

@@ -51,8 +51,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_chunk(c: int, chunk_c: int) -> int:
     """Largest divisor of ``c`` that is <= the requested chunk cap (so
-    the VMEM budget is never exceeded for awkward channel counts)."""
-    for cand in range(min(c, chunk_c), 0, -1):
+    the VMEM budget is never exceeded for awkward channel counts).
+    When ``c`` is lane-aligned (multiple of 128) only lane-aligned
+    chunks are considered: the kernel's manual HBM->VMEM copy slices
+    the channel axis, and Mosaic requires slices along the lane
+    dimension to be 128-aligned."""
+    step = 128 if c % 128 == 0 else 1
+    for cand in range(min(c, chunk_c) // step * step, 0, -step):
         if c % cand == 0:
             return cand
     raise AssertionError(c)  # unreachable: 1 divides c
@@ -72,8 +77,17 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
     n_rates = len(rates)
     f = weights[0].shape[-1]
     halo = max(rates)
-    chunk_c = _pick_chunk(c, chunk_c)
-    n_chunks = c // chunk_c
+    # Lane alignment: the manual channel-chunk DMA slices the last
+    # (lane) axis of the HBM memref, which Mosaic requires to be
+    # 128-aligned.  Small-C inputs (e.g. the 64-channel UNet decoder
+    # features at the EM config) are zero-padded to 128 along C, with
+    # matching zero rows in the weights — exact, the pad contributes 0.
+    c_eff = _round_up(c, 128)
+    if c_eff != c:
+        weights = [jnp.pad(wt, ((0, 0), (0, 0), (0, c_eff - c), (0, 0)))
+                   for wt in weights]
+    chunk_c = _pick_chunk(c_eff, chunk_c)
+    n_chunks = c_eff // chunk_c
     h_pad = _round_up(h, tile_rows)
     n_row_tiles = h_pad // tile_rows
     w8 = _round_up(w + 2 * halo, 8)
@@ -81,7 +95,7 @@ def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],
     out_f = n_rates * f
 
     xp = jnp.pad(x, ((0, 0), (halo, halo + h_pad - h),
-                     (halo, w8 - w - halo), (0, 0)))
+                     (halo, w8 - w - halo), (0, c_eff - c)))
     # Wcat[rate, di]: (C, 3F) with the three column taps along N.
     wstack = jnp.stack([
         jnp.stack([jnp.concatenate(

@@ -19,12 +19,100 @@ always-correct XLA path and the golden reference for it.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 EPSILON = 1e-4  # ref model_multiscale.py:106 (self.epsilon)
+
+
+# ---------------------------------------------------------------------------
+# bf16 block-diagonal matmul form (the TPU recipe path)
+# ---------------------------------------------------------------------------
+# The reshape form below ((B,H,W,S,D) x (S,P,D) einsums) is correct but
+# layout-hostile on TPU: the rank-5 tensors force XLA into
+# {2,4,1,0,3}-style layouts, and the r5 EM trace showed the resulting
+# relayout copies + fp32 full-res gradient tensors costing ~15 ms of a
+# 92 ms step (f32[2,512,512,256] / f32[2,512,512,4,64] copies at
+# ~650 GB/s).  Embedding the per-scale structure in a BLOCK-DIAGONAL
+# (S*D, P) prototype matrix turns the whole head into two plain rank-2
+# matmuls over the natural NHWC layout:
+#
+#   dist[p] = relu( (x*x) @ M  - 2 x @ W + ||p||^2 )
+#     W[c, p] = p_vec[p, c - s_p*D] if c in scale-block of p else 0
+#     M[c, p] = 1                   if c in scale-block of p else 0
+#
+# (zero blocks contribute nothing, so the math is the per-scale L2
+# exactly).  The custom VJP keeps the full-resolution backward in bf16
+# (dx via two transposed matmuls; prototype grads accumulate fp32) —
+# without it, AD promotes the (B,H,W,C) feature gradient to fp32
+# because the distance output/cotangent is fp32.  Handles irregular
+# (post-prune) banks too: blocks just have unequal widths.
+
+
+def _blockdiag_mats(p, scale_bounds, depth, dtype):
+    num_active = scale_bounds[-1][1]
+    c_total = len(scale_bounds) * depth
+    w = jnp.zeros((c_total, num_active), dtype)
+    m = np.zeros((c_total, num_active), np.float32)
+    for s, (lo, hi) in enumerate(scale_bounds):
+        w = w.at[s * depth:(s + 1) * depth, lo:hi].set(
+            p[lo:hi].astype(dtype).T)
+        m[s * depth:(s + 1) * depth, lo:hi] = 1.0
+    return w, jnp.asarray(m, dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _blockdiag_distances_bf16(x, p, scale_bounds):
+    out, _ = _blockdiag_fwd(x, p, scale_bounds)
+    return out
+
+
+def _blockdiag_fwd(x, p, scale_bounds):
+    depth = x.shape[-1] // len(scale_bounds)
+    num_active = scale_bounds[-1][1]
+    w, m = _blockdiag_mats(p, scale_bounds, depth, jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    p32 = p[:num_active].astype(jnp.float32)
+    p_sq = jnp.einsum("pd,pd->p", p32, p32)
+    sq = jnp.einsum("bhwc,cp->bhwp", xb * xb, m,
+                    preferred_element_type=jnp.float32)
+    cross = jnp.einsum("bhwc,cp->bhwp", xb, w,
+                       preferred_element_type=jnp.float32)
+    dist = jax.nn.relu(sq - 2.0 * cross + p_sq)
+    return dist, (x, p, dist)
+
+
+def _blockdiag_bwd(scale_bounds, res, g):
+    x, p, dist = res
+    depth = x.shape[-1] // len(scale_bounds)
+    w, m = _blockdiag_mats(p, scale_bounds, depth, jnp.bfloat16)
+    g = g * (dist > 0)
+    gb = g.astype(jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    # dx = 2x * (g @ M^T) - 2 (g @ W^T), all bf16 full-res
+    gm = jnp.einsum("bhwp,cp->bhwc", gb, m,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    gw = jnp.einsum("bhwp,cp->bhwc", gb, w,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    dx = (2.0 * (xb * gm - gw)).astype(x.dtype)
+    # prototype grads: fp32 accumulation (params are fp32)
+    dcross = jnp.einsum("bhwc,bhwp->cp", xb, gb,
+                        preferred_element_type=jnp.float32)
+    g_sum = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))  # (P,)
+    dp = jnp.zeros(p.shape, jnp.float32)
+    for s, (lo, hi) in enumerate(scale_bounds):
+        blk = dcross[s * depth:(s + 1) * depth, lo:hi].T  # (Ps, D)
+        dp = dp.at[lo:hi].set(
+            -2.0 * blk
+            + 2.0 * p[lo:hi].astype(jnp.float32) * g_sum[lo:hi, None])
+    return dx, dp.astype(p.dtype)
+
+
+_blockdiag_distances_bf16.defvjp(_blockdiag_fwd, _blockdiag_bwd)
 
 
 def scale_l2_distances(features: jax.Array, prototypes: jax.Array,
@@ -45,6 +133,16 @@ def scale_l2_distances(features: jax.Array, prototypes: jax.Array,
     """
     num_scales = len(scale_bounds)
     depth = features.shape[-1] // num_scales
+    # bf16 features (the TPU training/serving recipe) take the
+    # block-diagonal matmul form above: bf16 MXU with fp32 accumulation,
+    # rank-2 layouts, bf16 backward.  Prototypes are fp32 params;
+    # rounding them to bf16 inside that path is the one real precision
+    # change, and only on the already-bf16-validated recipe
+    # (benchmarks/bench_bf16_divergence.py).  The distance assembly and
+    # the log activation stay fp32 (eps=1e-4 < bf16 resolution).
+    if features.dtype == jnp.bfloat16:
+        return _blockdiag_distances_bf16(features, prototypes,
+                                         tuple(scale_bounds))
     x32 = features.astype(jnp.float32)
     p32 = prototypes.astype(jnp.float32)
 
@@ -57,8 +155,10 @@ def scale_l2_distances(features: jax.Array, prototypes: jax.Array,
         b, h, w, _ = features.shape
         xs = x32.reshape(b, h, w, num_scales, depth)
         ps = p32[:num_active].reshape(num_scales, -1, depth)
-        x_sq = jnp.sum(xs * xs, axis=-1, keepdims=True)        # (B,H,W,S,1)
-        p_sq = jnp.sum(ps * ps, axis=-1)                       # (S,Ps)
+        x_sq = jnp.einsum("bhwsd,bhwsd->bhws", xs, xs,
+                          preferred_element_type=jnp.float32)[..., None]
+        p_sq = jnp.einsum("spd,spd->sp", ps, ps,
+                          preferred_element_type=jnp.float32)
         cross = jnp.einsum("bhwsd,spd->bhwsp", xs, ps,
                            preferred_element_type=jnp.float32)
         dist = x_sq - 2.0 * cross + p_sq[None, None, None]
@@ -69,8 +169,10 @@ def scale_l2_distances(features: jax.Array, prototypes: jax.Array,
     for s, (lo, hi) in enumerate(scale_bounds):
         xs = x32[..., s * depth:(s + 1) * depth]
         ps = p32[lo:hi]
-        x_sq = jnp.sum(xs * xs, axis=-1, keepdims=True)
-        p_sq = jnp.sum(ps * ps, axis=-1)
+        x_sq = jnp.einsum("bhwd,bhwd->bhw", xs, xs,
+                          preferred_element_type=jnp.float32)[..., None]
+        p_sq = jnp.einsum("pd,pd->p", ps, ps,
+                          preferred_element_type=jnp.float32)
         cross = jnp.einsum("bhwd,pd->bhwp", xs, ps,
                            preferred_element_type=jnp.float32)
         out.append(jax.nn.relu(x_sq - 2.0 * cross + p_sq))

@@ -142,8 +142,17 @@ class PhaseTrainer:
                 # the fused kernel computes in bf16 and the ASPP module
                 # only takes the fast branch at dtype==bfloat16
                 # (models/deeplab.py) — without it the flag is inert
+                from scaleprotoseg_tpu.models.unet import UNetASPP
                 eff_dtype = brepl.get("dtype", model.backbone.dtype)
-                if eff_dtype == jnp.bfloat16:
+                if isinstance(model.backbone, UNetASPP):
+                    # full-resolution ASPP head: the fused kernel's
+                    # tap-packed backward materializes a (B,H,W,36F)
+                    # gradient at FULL input res — measured +8 ms/step
+                    # at the EM shapes (r5 trace, benchmarks/README.md)
+                    log("train.fast_aspp: disabled for UNet-ASPP (the "
+                        "full-res tap-packed VJP loses there — "
+                        "benchmarks/README.md)")
+                elif eff_dtype == jnp.bfloat16:
                     brepl["fast_aspp"] = True
                 else:
                     log("WARNING: train.fast_aspp=True requires "
