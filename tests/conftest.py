@@ -14,15 +14,30 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# disable the CLI's persistent compilation cache under pytest: tests run
-# with ephemeral LOG_DIRs and must not leave cache files in the repo
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "")
+# The fast profile is XLA:CPU-compile-dominated on this 1-core host
+# (~10 min cold).  Share one persistent compilation cache across runs at
+# a stable per-user path OUTSIDE the repo (ephemeral LOG_DIRs mean the
+# CLI's own LOG_DIR/jax_cache never persists under pytest): warm runs
+# drop to roughly half.  Set JAX_COMPILATION_CACHE_DIR='' to force a
+# cold run (that is what the documented cold time measures).
+_cache = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/scaleprotoseg_tpu/test_jax_cache"))
+# the XLA:CPU AOT loader logs 2 benign machine-feature-mismatch ERROR
+# lines per cache hit (prefer-no-scatter/gather pseudo-features); hide
+# native log spam under pytest
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 # The hosted TPU plugin pins JAX_PLATFORMS at interpreter startup; the env
 # assignment above is not enough, so force the platform through the config.
 jax.config.update("jax_platforms", "cpu")
+if _cache:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
