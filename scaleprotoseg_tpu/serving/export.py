@@ -186,6 +186,15 @@ def export_serving(model, variables, *, height: int, width: int,
         raise ValueError("fast=True needs a fixed batch: the fused "
                          "Pallas kernels flatten B*H*W into a static "
                          "grid")
+    if batch is None and getattr(model.backbone, "fast_aspp", False):
+        # fast_aspp lives on the MODEL (models/deeplab.py ASPP branch),
+        # not the serving-path flag: a model built by
+        # load_model(fast=True) would still hit the Pallas ASPP under a
+        # symbolic batch, whose block specs must be shape-static.
+        import dataclasses
+        model = dataclasses.replace(
+            model, backbone=dataclasses.replace(model.backbone,
+                                                fast_aspp=False))
     bdim = jexport.symbolic_shape("b")[0] if batch is None else batch
     wire_dtype = jnp.uint8 if device_preprocess else input_dtype
     x_spec = jax.ShapeDtypeStruct((bdim, height, width, 3), wire_dtype)
