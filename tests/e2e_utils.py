@@ -80,6 +80,31 @@ train.push_proto = False
 """
 
 
+# ResNet-50 variants of the tiny configs: same synthetic EM-style data,
+# DeepLabV2-ResNet50 backbone (deeplab_n_features=16 -> proto depth 16).
+# The full-surface TPU smoke (tools/tpu_e2e_smoke.py) uses these so the
+# chain can exercise --quant8-static, which requires the ResNet conv
+# stack (model_loading.load_model).
+def _to_resnet(cfg: str, scope: str) -> str:
+    return (cfg
+            .replace(f"{scope}.base_architecture = 'unet_aspp'",
+                     f"{scope}.base_architecture = "
+                     "'deeplabv2_resnet50_multiscale'")
+            .replace(f"{scope}.prototype_shape = (24, 8, 1, 1)",
+                     f"{scope}.prototype_shape = (24, 16, 1, 1)")
+            .replace("unet_aspp_features.unet_n_features = 8\n"
+                     "unet_aspp_features.unet_base = 8\n"
+                     "unet_aspp_features.scales = []\n"
+                     "unet_aspp_features.multiscale = True\n",
+                     "deeplabv2_resnet50_features_multiscale."
+                     "deeplab_n_features = 16\n"))
+
+
+TINY_RESNET_CONFIG = _to_resnet(TINY_EM_CONFIG, "construct_PPNet")
+TINY_GROUP_RESNET_CONFIG = _to_resnet(TINY_GROUP_CONFIG,
+                                      "construct_PPNet_Group")
+
+
 def build_synthetic_dataset(root: str, n_train: int = 8, n_val: int = 4,
                             size: int = 32, seed: int = 0) -> str:
     rng = np.random.default_rng(seed)
