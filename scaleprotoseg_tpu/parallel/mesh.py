@@ -34,6 +34,55 @@ Which parallelism axes apply to this architecture (and which don't):
 
 Multi-host: call ``jax.distributed.initialize()`` before ``create_mesh``
 and feed per-host shards (``loader.py`` handles host sharding).
+
+Scaling model (SURVEY §5.8) — what DP costs before renting a pod slice
+---------------------------------------------------------------------
+Inputs measured on one v5e chip (r5, ``benchmarks/bench_configs.py``
+donated recipe steps; gradient volume = joint-phase trainable params x
+4 B fp32, counted from the real param tree):
+
+  config               step ms   grads/step   per-chip batch
+  scaleproto_cityscapes   31.9      180 MiB         2
+  scaleproto_coco        136.6      180 MiB        10
+  scaleproto_em           79.3       52 MiB         2
+
+Link assumptions (state-of-the-art public v5e figures; re-measure on
+your slice): ICI 45 GB/s per axis per direction, 2D torus within a
+slice (1 axis below 16 chips); DCN ~12.5-25 GB/s aggregate per slice.
+
+Per-step gradient all-reduce (bidirectional ring per torus axis,
+2V(n-1)/n bytes per link-direction, ~n-independent):
+~4.2 ms for 180 MiB on one ICI axis, ~2.1 ms once a second torus axis
+exists (>=32 chips), ~1.2 ms for EM's 52 MiB.  XLA overlaps the psum
+with the remaining backward (deep-layer grads reduce while shallow
+layers still differentiate), so these are upper bounds on the EXPOSED
+cost.  Weak-scaling efficiency within one ICI slice, worst-case
+(zero overlap) -> expected (overlapped):
+
+  chips      cityscapes        coco           em
+  8 (1x8)    88% -> ~97%    97% -> ~99%    95% -> ~99%
+  32 (4x8)   94% -> ~98%    98% -> ~99%    97% -> ~99%
+  256 (16x16)94% -> ~98%    98% -> ~99%    97% -> ~99%
+
+i.e. DP over ICI is essentially free at every useful scale; the
+binding constraint is STATISTICAL, not communication: global batch =
+per-chip batch x chips against the train-split size (cityscapes 2975
+images -> 256 chips is batch 512 = 17% of the split per step; cap the
+flagship at ~32 chips / global batch 64; EM's 165-image split makes
+DP beyond ~4 chips pointless — use the 2D data x space mesh to scale
+window size instead).  COCO (batch 10/chip, ~10x the dataset) scales
+furthest.  LR: linear scaling with ~500-step warmup up to ~8x the
+reference batch, square-root beyond (Adam phase optimizers); the
+runner's ``apply_if_finite`` guard is the recipe's safety net.
+
+Multislice (``create_mesh_multislice``): only slice-level partials
+cross DCN, but 180 MiB over ~12.5-25 GB/s is 15-30 ms — NOT hideable
+behind a 32 ms step (50-65% efficiency).  Use gin
+``PatchClassificationModuleMultiScale.iter_size`` (optax MultiSteps,
+already wired) to accumulate k micro-steps per update: the DCN
+all-reduce amortizes to 1/k per step (k=4 -> ~80-90% at cityscapes),
+and/or reduce in bf16 across DCN.  Params + Adam moments stay
+replicated (~0.6 GB fp32 for the flagship — far under 16 GB HBM).
 """
 
 from __future__ import annotations
