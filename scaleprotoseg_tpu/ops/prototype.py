@@ -41,9 +41,11 @@ EPSILON = 1e-4  # ref model_multiscale.py:106 (self.epsilon)
 # (S*D, P) prototype matrix turns the whole head into two plain rank-2
 # matmuls over the natural NHWC layout:
 #
-#   dist[p] = relu( (x*x) @ M  - 2 x @ W + ||p||^2 )
-#     W[c, p] = p_vec[p, c - s_p*D] if c in scale-block of p else 0
-#     M[c, p] = 1                   if c in scale-block of p else 0
+#   dist[p] = relu( ((x*x) @ M_cs) @ O_sp  - 2 x @ W + ||p||^2 )
+#     W[c, p]  = p_vec[p, c - s_p*D] if c in scale-block of p else 0
+#     M_cs, O_sp = channel->scale / scale->prototype 0/1 masks (the
+#     ||x||^2 term is per-scale, so it routes through two tiny matmuls
+#     rather than a second full (C,P) contraction — see _blockdiag_mats)
 #
 # (zero blocks contribute nothing, so the math is the per-scale L2
 # exactly).  The custom VJP keeps the full-resolution backward in bf16
@@ -54,15 +56,25 @@ EPSILON = 1e-4  # ref model_multiscale.py:106 (self.epsilon)
 
 
 def _blockdiag_mats(p, scale_bounds, depth, dtype):
+    """(C, P) block-diagonal prototype matrix + the factored scale
+    masks: channel->scale (C, S) and scale->prototype one-hot (S, P).
+    The ||x||^2 term is per-SCALE, not per-prototype, so routing it
+    through the two tiny masks ((bhw,C)@(C,S) then (bhw,S)@(S,P))
+    costs ~S/C of the naive (bhw,C)@(C,P) mask matmul — at the
+    ADE/COCO bank sizes (P=1800-2184) the naive form measurably
+    regressed the step (+2-3 ms, r5)."""
     num_active = scale_bounds[-1][1]
-    c_total = len(scale_bounds) * depth
+    num_scales = len(scale_bounds)
+    c_total = num_scales * depth
     w = jnp.zeros((c_total, num_active), dtype)
-    m = np.zeros((c_total, num_active), np.float32)
+    m_cs = np.zeros((c_total, num_scales), np.float32)
+    o_sp = np.zeros((num_scales, num_active), np.float32)
     for s, (lo, hi) in enumerate(scale_bounds):
         w = w.at[s * depth:(s + 1) * depth, lo:hi].set(
             p[lo:hi].astype(dtype).T)
-        m[s * depth:(s + 1) * depth, lo:hi] = 1.0
-    return w, jnp.asarray(m, dtype)
+        m_cs[s * depth:(s + 1) * depth, s] = 1.0
+        o_sp[s, lo:hi] = 1.0
+    return w, jnp.asarray(m_cs, dtype), jnp.asarray(o_sp, dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -74,11 +86,13 @@ def _blockdiag_distances_bf16(x, p, scale_bounds):
 def _blockdiag_fwd(x, p, scale_bounds):
     depth = x.shape[-1] // len(scale_bounds)
     num_active = scale_bounds[-1][1]
-    w, m = _blockdiag_mats(p, scale_bounds, depth, jnp.bfloat16)
+    w, m_cs, o_sp = _blockdiag_mats(p, scale_bounds, depth, jnp.bfloat16)
     xb = x.astype(jnp.bfloat16)
     p32 = p[:num_active].astype(jnp.float32)
     p_sq = jnp.einsum("pd,pd->p", p32, p32)
-    sq = jnp.einsum("bhwc,cp->bhwp", xb * xb, m,
+    x2s = jnp.einsum("bhwc,cs->bhws", xb * xb, m_cs,
+                     preferred_element_type=jnp.float32)
+    sq = jnp.einsum("bhws,sp->bhwp", x2s.astype(jnp.bfloat16), o_sp,
                     preferred_element_type=jnp.float32)
     cross = jnp.einsum("bhwc,cp->bhwp", xb, w,
                        preferred_element_type=jnp.float32)
@@ -89,12 +103,15 @@ def _blockdiag_fwd(x, p, scale_bounds):
 def _blockdiag_bwd(scale_bounds, res, g):
     x, p, dist = res
     depth = x.shape[-1] // len(scale_bounds)
-    w, m = _blockdiag_mats(p, scale_bounds, depth, jnp.bfloat16)
+    w, m_cs, o_sp = _blockdiag_mats(p, scale_bounds, depth, jnp.bfloat16)
     g = g * (dist > 0)
     gb = g.astype(jnp.bfloat16)
     xb = x.astype(jnp.bfloat16)
-    # dx = 2x * (g @ M^T) - 2 (g @ W^T), all bf16 full-res
-    gm = jnp.einsum("bhwp,cp->bhwc", gb, m,
+    # dx = 2x * (g routed back through the factored scale masks)
+    #      - 2 (g @ W^T), all bf16 full-res
+    gs = jnp.einsum("bhwp,sp->bhws", gb, o_sp,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    gm = jnp.einsum("bhws,cs->bhwc", gs, m_cs,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     gw = jnp.einsum("bhwp,cp->bhwc", gb, w,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
