@@ -26,9 +26,12 @@ Synthetic 2-class blob data in the reference's on-disk layout.
 
 Usage:  python tools/tpu_e2e_smoke.py     # on the TPU host
 Prints one JSON line with per-stage wall seconds, the bf16 and int8
-mean-IoUs and their delta, and the serving throughput.  A persistent
-compile cache at ~/.cache/scaleprotoseg_tpu/tpu_smoke_cache makes
-repeat runs fast (first run is compile-dominated).
+mean-IoUs and their delta, and the serving throughput.  Measured ~9 min
+wall on this 1-core tunnel host (r5, twice): the training stages are
+dominated by per-phase compiles and the ~30 ms/call host<->device
+round-trip, so a PCIe-attached host runs it far faster; a persistent
+compile cache at ~/.cache/scaleprotoseg_tpu/tpu_smoke_cache helps only
+across runs of IDENTICAL code.
 """
 
 from __future__ import annotations
