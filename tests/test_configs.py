@@ -64,6 +64,26 @@ def test_config_builds_model(name, expected):
         assert model.msc_scales == ()
 
 
+def test_runner_gates_fast_aspp_off_for_unet(tmp_path):
+    """--tpu-recipe sets train.fast_aspp globally, but the runner must
+    keep it OFF for UNet-ASPP backbones: the fused kernel's tap-packed
+    VJP runs at FULL input resolution there and measures +8 ms/step at
+    the EM shapes (r5, benchmarks/README.md)."""
+    import jax.numpy as jnp
+
+    from scaleprotoseg_tpu import cli_common
+    from scaleprotoseg_tpu.train.runner import PhaseTrainer, module_hparams
+
+    cli_common.load_config("scaleproto_em")
+    cli_common.apply_overrides(None, tpu_recipe=True)
+    model, spec = construct_PPNet(variant="multiscale", pretrained=False)
+    mhp = module_hparams("multiscale")
+    tr = PhaseTrainer(model, spec, "multiscale", str(tmp_path),
+                      mhp, log=lambda *a, **k: None)
+    assert tr.model.backbone.dtype == jnp.bfloat16  # recipe applied
+    assert tr.model.backbone.fast_aspp is False     # but gated for UNet
+
+
 def test_train_package_entry_shim():
     """python -m scaleprotoseg_tpu.train must expose the train_wandb CLI
     (reference's `python -m segmentation.train` surface)."""

@@ -53,6 +53,25 @@ def test_pallas_fused_aspp_interpret(rng):
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_pallas_fused_aspp_small_channels(rng):
+    """C=64 (the EM UNet decoder width): below the 128-lane tiling, the
+    kernel zero-pads channels and weights (r5 — previously a Mosaic
+    compile error: 'slice shape along dimension 3 must be aligned to
+    tiling (128)').  Exact math: the pad contributes 0."""
+    from scaleprotoseg_tpu.ops.pallas_aspp import fused_aspp
+    rates = (2, 4, 6, 8)
+    x = jnp.asarray(rng.random((1, 12, 17, 64)), jnp.float32)
+    weights = [jnp.asarray(rng.random((3, 3, 64, 16)) * 0.05, jnp.float32)
+               for _ in rates]
+    biases = [jnp.asarray(rng.random((16,)), jnp.float32) for _ in rates]
+    ref = np.asarray(_conv_ref(x, weights, biases, rates))
+    got = np.asarray(fused_aspp(x, weights, biases, rates=rates,
+                                tile_rows=4, interpret=True)
+                     ).astype(np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_pallas_fused_aspp_pascal_grid(rng):
     """65x65 grid (pascal/cityscapes 513-window eval) with real rates:
     odd spatial dims + full 24-halo path."""

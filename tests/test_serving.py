@@ -219,6 +219,32 @@ def test_fast_requires_fixed_batch(tiny):
                        batch=None, fast=True)
 
 
+def test_export_symbolic_batch_drops_model_fast_aspp(tiny, monkeypatch):
+    """A model built fast (backbone.fast_aspp=True, e.g. by
+    load_model(fast=True)) must still export with a symbolic batch:
+    the model-side Pallas ASPP branch needs static block shapes, so
+    export_serving drops the flag under batch=None (r5 — previously a
+    shape-polymorphism ValueError from inside the kernel)."""
+    import dataclasses
+    monkeypatch.setenv("SCALEPROTOSEG_FORCE_FAST_ASPP", "interpret")
+    model, spec, variables = tiny
+    fast_model = dataclasses.replace(
+        model, dtype=jnp.bfloat16,
+        backbone=dataclasses.replace(model.backbone, fast_aspp=True,
+                                     dtype=jnp.bfloat16))
+    exported = export_serving(fast_model, variables, height=33, width=33,
+                              batch=None, input_dtype=jnp.float32)
+    # parity against the same bf16 model without the fast branch — the
+    # drop must be the ONLY difference
+    plain = dataclasses.replace(
+        fast_model, backbone=dataclasses.replace(fast_model.backbone,
+                                                 fast_aspp=False))
+    fn = jax.jit(make_serving_fn(plain))
+    x = _images(2)
+    np.testing.assert_array_equal(np.asarray(exported.call(variables, x)),
+                                  np.asarray(fn(variables, x)))
+
+
 def test_engine_order_tail_and_parity(tiny):
     model, _, variables = tiny
     fn = jax.jit(make_serving_fn(model))

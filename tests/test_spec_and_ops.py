@@ -86,6 +86,50 @@ def test_scale_l2_distances_matches_naive(rng, irregular):
     np.testing.assert_allclose(d, expected, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("bounds", [
+    ((0, 4), (4, 8), (8, 12), (12, 16)),        # uniform
+    ((0, 3), (3, 9), (9, 12), (12, 14)),        # irregular (post-prune)
+    ((0, 14),),                                  # single-scale (coco)
+], ids=["uniform", "irregular", "single"])
+def test_scale_l2_distances_bf16_blockdiag(rng, bounds):
+    """bf16 features route through the block-diagonal matmul form
+    (custom VJP, ops/prototype.py r5): values match the fp32 reference
+    path within bf16 rounding, gradients match fp32 AD through the
+    custom VJP, and dangling bank rows past the last bound get exactly
+    zero prototype gradient."""
+    S = len(bounds)
+    D, P = 8, 16  # P > bounds[-1][1]: rows 14/15 dangle (coco-style)
+    feats = rng.random((2, 5, 6, S * D)).astype(np.float32)
+    # prototypes offset from the feature range: distances stay bounded
+    # away from the ReLU clamp, where a single bf16 rounding can flip
+    # the mask and make the (legitimate) subgradient comparison moot
+    protos = (2.0 + rng.random((P, D))).astype(np.float32)
+    x32, p32 = jnp.asarray(feats), jnp.asarray(protos)
+
+    ref = np.array(scale_l2_distances(x32, p32, bounds))
+    got = np.array(scale_l2_distances(x32.astype(jnp.bfloat16), p32,
+                                      bounds), np.float32)
+    assert got.dtype == np.float32
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=0.02 * scale)
+
+    def loss32(x, p):
+        return jnp.sum(jnp.sin(scale_l2_distances(x, p, bounds)))
+
+    def loss16(x, p):
+        return jnp.sum(jnp.sin(scale_l2_distances(
+            x.astype(jnp.bfloat16), p, bounds)))
+
+    gx32, gp32 = jax.grad(loss32, (0, 1))(x32, p32)
+    gx16, gp16 = jax.grad(loss16, (0, 1))(x32, p32)
+    for a, b in ((gx32, gx16), (gp32, gp16)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        np.testing.assert_allclose(b, a, atol=0.03 * np.abs(a).max())
+    assert np.asarray(gp16).dtype == np.float32
+    active = bounds[-1][1]
+    assert np.all(np.asarray(gp16)[active:] == 0.0)
+
+
 def test_distance_to_similarity_log():
     d = jnp.asarray([0.0, 1.0, 100.0])
     sim = np.array(distance_to_similarity(d))
