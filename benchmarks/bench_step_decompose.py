@@ -22,6 +22,16 @@ Section chains are derived from the backbone param tree:
 Subsets respect the REAL joint-phase trainable labels (frozen BN
 affine stays frozen — see bench_backward.py's note on the 15% skew).
 
+CAVEAT (r5, measured at EM): subset rows can OVER-price a slice.  With
+the body frozen, XLA schedules the ASPP dW reductions without the
+body-backward dataflow to fuse against: the EM "+aspp" row reads
+32.8 ms while swapping the ENTIRE ASPP backward form in the full step
+(XLA AD vs the tap-packed VJP) moves the step < 0.2 ms — and the EM
+grads_full row (89 ms, nondonated + per-leaf vdot reduce) exceeds the
+real donated step (79 ms).  The flagship rows close (bench_backward.py)
+but treat UNet rows as relative hints; bench_trace_step.py is the
+ground truth for where a step's time goes.
+
 Run on the real TPU chip:
     python benchmarks/bench_step_decompose.py --config scaleproto_em \
         [--recipe] [--sections fwd,steps,layers] [--iters 8]

@@ -76,14 +76,15 @@ def jax_resize(x, height, width):
 class UNetASPP(nn.Module):
     """U-Net body + ASPP head (sum or concat across atrous rates).
 
-    ``fast_aspp`` routes the head through the fused one-pass Pallas
-    kernel (ops/pallas_aspp.py; differentiable via its custom VJP).
-    Measured at the EM shapes (512^2, C=64 decoder features) it LOSES
-    ~8 ms/step in training — the head runs at full input resolution,
-    so the tap-packed VJP materializes a (B,H,W,36F) gradient there —
-    and the train runner therefore never enables it for this backbone
-    (train/runner.py); the knob exists for experimentation and
-    forward-only use (benchmarks/bench_trace_step.py, r5)."""
+    ``fast_aspp`` routes the head through the trainable fused-ASPP
+    wrapper (ops/pallas_aspp.py).  At this backbone's shapes (full
+    input resolution, shallow C) the wrapper's hybrid picks the XLA
+    shifted-matmul forward — the one-pass Pallas kernel loses ~8
+    ms/step at EM (halo re-read + 128-lane channel pad) — and the
+    tap-packed backward measures NEUTRAL vs XLA AD there (r5 A/B:
+    79.1 vs 79.2 ms/step), so the train runner keeps the knob off for
+    UNet-ASPP; it exists for experimentation
+    (benchmarks/bench_trace_step.py, r5)."""
 
     out_features: int
     rates: Sequence[int] = (6, 12, 18, 24)

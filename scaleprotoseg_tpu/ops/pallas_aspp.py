@@ -262,6 +262,41 @@ def fused_aspp_sharded(x: jax.Array, weights: Sequence[jax.Array],
               jnp.stack([jnp.asarray(b) for b in biases]))
 
 
+# Forward-form crossover: the one-pass kernel wins where the input is
+# channel-deep and spatially small (flagship OS-8: C=2048 at 129x257 —
+# 4.9 vs 8 ms XLA); it LOSES where the input is shallow and full-res
+# (EM: C=64 at 512^2 — the halo makes each 8-row tile read 56 rows, a
+# 7x re-read, and C pads to the 128-lane tiling, wasting half the MXU).
+# Below this channel count the trainable wrapper uses the XLA
+# shifted-matmul forward instead — SAME math, same packed backward.
+_KERNEL_MIN_C = 512
+
+
+def _xla_shifted_aspp(x, weights, biases, rates):
+    """Reference shifted-matmul ASPP forward (the ASPP module's XLA
+    form, models/deeplab.py): nine pointwise matmuls per rate off one
+    shared padded tensor.  bf16 output to match the kernel's
+    contract."""
+    m = max(rates)
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (m, m), (m, m), (0, 0)))
+    outs = []
+    for ri, rate in enumerate(rates):
+        acc = None
+        wt = weights[ri]
+        for di in range(3):
+            for dj in range(3):
+                xs = jax.lax.dynamic_slice(
+                    xp, (0, m + (di - 1) * rate, m + (dj - 1) * rate, 0),
+                    (b, h, w, c))
+                t = jnp.einsum("bhwc,cf->bhwf", xs,
+                               wt[di, dj].astype(x.dtype),
+                               preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+        outs.append(acc + jnp.asarray(biases[ri], jnp.float32))
+    return jnp.concatenate(outs, -1).astype(jnp.bfloat16)
+
+
 @lru_cache(maxsize=16)
 def _make_fused_aspp_trainable(rates: Tuple[int, ...], tile_rows: int,
                                chunk_c: int, interpret: bool):
@@ -270,9 +305,11 @@ def _make_fused_aspp_trainable(rates: Tuple[int, ...], tile_rows: int,
 
     @jax.custom_vjp
     def f(x, weights, biases):
-        return fused_aspp_sharded(x, list(weights), list(biases),
-                                  rates=rates, tile_rows=tile_rows,
-                                  chunk_c=chunk_c, interpret=interpret)
+        if x.shape[-1] >= _KERNEL_MIN_C:
+            return fused_aspp_sharded(x, list(weights), list(biases),
+                                      rates=rates, tile_rows=tile_rows,
+                                      chunk_c=chunk_c, interpret=interpret)
+        return _xla_shifted_aspp(x, list(weights), list(biases), rates)
 
     def fwd(x, weights, biases):
         return f(x, weights, biases), (x, weights)

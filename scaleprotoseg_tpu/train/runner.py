@@ -145,13 +145,15 @@ class PhaseTrainer:
                 from scaleprotoseg_tpu.models.unet import UNetASPP
                 eff_dtype = brepl.get("dtype", model.backbone.dtype)
                 if isinstance(model.backbone, UNetASPP):
-                    # full-resolution ASPP head: the fused kernel's
-                    # tap-packed backward materializes a (B,H,W,36F)
-                    # gradient at FULL input res — measured +8 ms/step
-                    # at the EM shapes (r5 trace, benchmarks/README.md)
-                    log("train.fast_aspp: disabled for UNet-ASPP (the "
-                        "full-res tap-packed VJP loses there — "
-                        "benchmarks/README.md)")
+                    # full-resolution shallow-C ASPP head: the Pallas
+                    # forward loses there (halo re-read + 128-lane C
+                    # pad, +8 ms/step at EM) and the packed backward
+                    # measures neutral vs XLA AD (r5 A/B: 79.1 vs
+                    # 79.2 ms with the hybrid VJP) — the knob buys
+                    # nothing for this backbone, so it stays off
+                    log("train.fast_aspp: disabled for UNet-ASPP "
+                        "(measured neutral-to-worse at full-res "
+                        "shallow-C heads — benchmarks/README.md)")
                 elif eff_dtype == jnp.bfloat16:
                     brepl["fast_aspp"] = True
                 else:
