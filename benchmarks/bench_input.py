@@ -145,6 +145,30 @@ def bench_train_arm(root: str, samples: int, workers_list) -> None:
             "required_img_per_s": round(TRAIN_IMG_PER_S, 1),
         }), flush=True)
 
+    # grain backend (data/grain_loader.py): same sampled stream,
+    # grain's read/prefetch engine — the number a user choosing
+    # `loader_backend='grain'` should expect vs the threaded default
+    try:
+        from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
+    except ImportError:
+        return
+    for nw in workers_list[-1:]:
+        loader = GrainDataLoader(ds, batch_size=2, shuffle=True,
+                                 num_workers=nw, drop_last=True)
+        n_img = 0
+        for _ in loader:
+            break
+        t0 = time.perf_counter()
+        for _ in range(2):
+            for imgs, _labels in loader:
+                n_img += imgs.shape[0]
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "train_loader_grain", "arm": arms[-1][0],
+            "workers": nw, "batch": 2,
+            "img_per_s": round(n_img / dt, 1),
+        }), flush=True)
+
 
 def bench_serving_arm(tmp: str, samples: int) -> None:
     from PIL import Image

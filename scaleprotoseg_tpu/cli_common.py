@@ -233,14 +233,30 @@ def make_loaders(batch_size: int, num_workers: Optional[int] = None,
                                           is_eval=False, root=data_root)
     val_ds = PatchClassificationDataset(split_key="val", is_eval=True,
                                         root=data_root)
-    return (DataLoader(train_ds, local_bs, shuffle=True,
-                       num_workers=num_workers, seed=seed,
-                       host_id=pid, num_hosts=nproc,
-                       drop_last=nproc > 1),
-            DataLoader(val_ds, local_bs, shuffle=False,
-                       num_workers=num_workers, seed=seed,
-                       host_id=pid, num_hosts=nproc,
-                       drop_last=nproc > 1))
+    # gin PatchClassificationDataModule.loader_backend = 'grain' swaps
+    # the threaded prefetcher for the grain engine (same sampled
+    # stream — data/grain_loader.py; 'grain_processes' adds process
+    # workers for augs that do not release the GIL)
+    backend = configlib.query("PatchClassificationDataModule",
+                              "loader_backend", "threads")
+    if backend in ("grain", "grain_processes"):
+        from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
+        import functools
+        cls = functools.partial(GrainDataLoader,
+                                use_processes=backend == "grain_processes")
+    elif backend == "threads":
+        cls = DataLoader
+    else:
+        raise ValueError(f"unknown loader_backend {backend!r} "
+                         "(threads | grain | grain_processes)")
+    return (cls(train_ds, local_bs, shuffle=True,
+                num_workers=num_workers, seed=seed,
+                host_id=pid, num_hosts=nproc,
+                drop_last=nproc > 1),
+            cls(val_ds, local_bs, shuffle=False,
+                num_workers=num_workers, seed=seed,
+                host_id=pid, num_hosts=nproc,
+                drop_last=nproc > 1))
 
 
 class PushLoader:

@@ -232,3 +232,96 @@ def test_make_loaders_multiprocess_wiring(tmp_path, monkeypatch):
             make_loaders(5, num_workers=1, data_root=root)
     finally:
         configlib.clear_config()
+
+
+# ---------------------------------------------------------------------------
+# Grain backend (data/grain_loader.py)
+# ---------------------------------------------------------------------------
+def test_grain_loader_matches_threaded_stream():
+    """The grain backend draws the SAME per-epoch index permutation as
+    the threaded loader (it inherits the bookkeeping), so the batch
+    streams are identical item-for-item — switching backends never
+    changes a training trajectory."""
+    pytest.importorskip("grain")
+    from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
+    from scaleprotoseg_tpu.data.loader import DataLoader
+
+    for shuffle in (False, True):
+        a = DataLoader(_TinyItems(9), 2, shuffle=shuffle, seed=5,
+                       num_workers=2)
+        b = GrainDataLoader(_TinyItems(9), 2, shuffle=shuffle, seed=5,
+                            num_workers=2)
+        assert len(a) == len(b)
+        for _ in range(2):  # two epochs: the epoch seed advances alike
+            batches_a, batches_b = list(a), list(b)
+            assert len(batches_a) == len(batches_b)
+            for (ia, la), (ib, lb) in zip(batches_a, batches_b):
+                np.testing.assert_array_equal(ia, ib)
+                np.testing.assert_array_equal(la, lb)
+
+
+def test_grain_loader_fast_forward_and_sharding():
+    pytest.importorskip("grain")
+    from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
+
+    # fast_forward(k) == skip the first k batches of the same stream
+    ref = GrainDataLoader(_TinyItems(9), 2, shuffle=True, seed=1,
+                          num_workers=1)
+    full = list(ref)
+    resumed = GrainDataLoader(_TinyItems(9), 2, shuffle=True, seed=1,
+                              num_workers=1)
+    resumed.fast_forward(2)
+    for (ia, _), (ib, _) in zip(full[2:], resumed):
+        np.testing.assert_array_equal(ia, ib)
+
+    # host shards are disjoint, equal-sized, and drop the ragged tail
+    seen = set()
+    for h in range(2):
+        ld = GrainDataLoader(_TinyItems(9), 2, shuffle=False,
+                             num_workers=1, host_id=h, num_hosts=2)
+        for img, _ in ld:
+            seen.update(int(v) for v in img[:, 0, 0, 0])
+    assert len(seen) == 8
+
+
+def test_make_loaders_grain_backend(tmp_path):
+    """gin PatchClassificationDataModule.loader_backend='grain' routes
+    make_loaders through the grain engine."""
+    pytest.importorskip("grain")
+    import sys
+    sys.path.insert(0, "tests")
+    from e2e_utils import TINY_EM_CONFIG, build_synthetic_dataset
+
+    from scaleprotoseg_tpu import configlib
+    from scaleprotoseg_tpu.cli_common import make_loaders
+    from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
+
+    root = build_synthetic_dataset(str(tmp_path / "d"), n_train=4, n_val=2)
+    cfg = tmp_path / "cfg.gin"
+    cfg.write_text(TINY_EM_CONFIG +
+                   "\nPatchClassificationDataModule.loader_backend = "
+                   "'grain'\n")
+    configlib.parse_config(cfg.read_text())
+    try:
+        tl, vl = make_loaders(2, num_workers=1, data_root=root)
+        assert isinstance(tl, GrainDataLoader)
+        images, labels = next(iter(vl))
+        assert images.shape == (2, 32, 32, 3)
+        assert labels.shape == (2, 32, 32)
+    finally:
+        configlib.clear_config()
+
+
+@pytest.mark.slow
+def test_grain_loader_process_workers():
+    """use_processes=True (grain mp_prefetch): same stream, process
+    workers running the augmentation map."""
+    pytest.importorskip("grain")
+    from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
+
+    ld = GrainDataLoader(_TinyItems(9), 2, shuffle=True, seed=1,
+                         num_workers=2, use_processes=True)
+    ref = GrainDataLoader(_TinyItems(9), 2, shuffle=True, seed=1,
+                          num_workers=2)
+    for (a, _), (b, _) in zip(ld, ref):
+        np.testing.assert_array_equal(a, b)
