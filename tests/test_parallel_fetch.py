@@ -325,3 +325,34 @@ def test_grain_loader_process_workers():
                           num_workers=2)
     for (a, _), (b, _) in zip(ld, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_grain_loader_det_seed_real_dataset_parity(tmp_path):
+    """With the real augmentation stack in det_seed mode (item contents
+    a pure function of (seed, epoch, index)), the grain and threaded
+    backends yield bit-identical batches — the guarantee that lets a
+    run switch loader_backend without changing its trajectory."""
+    pytest.importorskip("grain")
+    import sys
+    sys.path.insert(0, "tests")
+    from e2e_utils import build_synthetic_dataset
+
+    from scaleprotoseg_tpu.data.dataset import PatchClassificationDataset
+    from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
+    from scaleprotoseg_tpu.data.loader import DataLoader
+
+    root = build_synthetic_dataset(str(tmp_path / "d"), n_train=6, n_val=2)
+
+    def make(cls):
+        ds = PatchClassificationDataset(
+            split_key="train", is_eval=False, data_type="em",
+            window_size=(32, 32), image_margin_size=0,
+            mean=[0.5] * 3, std=[0.5] * 3, scales=(0.8, 1.2),
+            only_19_from_cityscapes=False, root=root, det_seed=11)
+        return cls(ds, 2, shuffle=True, seed=4, num_workers=2)
+
+    a, b = make(DataLoader), make(GrainDataLoader)
+    for _ in range(2):  # two epochs: set_epoch advances identically
+        for (ia, la), (ib, lb) in zip(list(a), list(b)):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(la, lb)
