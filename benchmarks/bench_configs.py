@@ -32,88 +32,25 @@ def bench_config(name: str, iters: int = 8, fast_gradconv: bool = False,
                  fast_aspp: bool = False, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from scaleprotoseg_tpu import cli_common, configlib
-    from scaleprotoseg_tpu.models.factory import construct_PPNet
+    from common_build import build_from_config
     from scaleprotoseg_tpu.profiling import time_fn_pipelined
-    from scaleprotoseg_tpu.train.optim import (label_params,
-                                               make_phase_optimizer,
-                                               partition_params,
-                                               phase_groups, poly_schedule)
-    from scaleprotoseg_tpu.train.runner import module_hparams
-    from scaleprotoseg_tpu.train.state import TrainState
     from scaleprotoseg_tpu.train.steps import make_train_step
 
-    from scaleprotoseg_tpu.models.factory import construct_PPNet_Group
-
-    cli_common.load_config(name)
-    hp = cli_common.train_hparams()
-    # group_* configs bind construct_PPNet_Group; coco's proto phase is
-    # the reference's single-scale pipeline (scaleproto_coco.gin binds
-    # PatchClassificationModule / PPNet)
-    if configlib.query("construct_PPNet_Group", "prototype_shape", None):
-        variant = "group"
-    elif configlib.query("PPNetMultiScale", "num_scales", None):
-        variant = "multiscale"
-    else:
-        variant = "single"
-    mhp = module_hparams(variant)
-    if variant == "group":
-        model, spec = construct_PPNet_Group(pretrained=False,
-                                            dtype=jnp.bfloat16)
-    else:
-        model, spec = construct_PPNet(variant=variant, pretrained=False,
-                                      dtype=jnp.bfloat16)
-    if fast_gradconv or fast_aspp:
-        # the TPU training recipe knobs (train.fast_gradconv /
-        # train.fast_aspp in PhaseTrainer)
-        import dataclasses
-        brepl = {}
-        if fast_gradconv and hasattr(model.backbone, "fast_gradconv"):
-            brepl["fast_gradconv"] = True
-        if fast_aspp and hasattr(model.backbone, "fast_aspp"):
-            brepl["fast_aspp"] = True
-        if brepl:
-            model = dataclasses.replace(
-                model, backbone=dataclasses.replace(model.backbone,
-                                                    **brepl))
-    window = configlib.query("PatchClassificationDataset", "window_size",
-                             (513, 513))
-    h, w = int(window[0]), int(window[1])
-    batch = int(hp["joint_batch_size"])
-
-    shapes = jax.eval_shape(
-        lambda k: model.init(k, jnp.zeros((1, h, w, 3), jnp.bfloat16)),
-        jax.random.PRNGKey(0))
-    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-
-    groups = phase_groups(variant, 1, mhp["hp"],
-                          joint_last=mhp["joint_last"],
-                          joint_no_proto=mhp["joint_no_proto"],
-                          has_scale_head=model.scale_head_type is not None)
-    trainable, _ = partition_params(variables["params"], set(groups))
-    tx = make_phase_optimizer(groups, label_params(trainable),
-                              schedule=poly_schedule(mhp["poly_lr_power"],
-                                                     30000))
-    state = TrainState.create(variables["params"],
-                              variables.get("batch_stats"),
-                              tx.init(trainable))
-    step = make_train_step(model, spec, tx, set(groups), mhp["weights"],
-                           ignore_void=mhp["ignore_void_class"],
-                           project_group_simplex=(variant == "group"),
-                           donate=False, remat=remat)
-
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((batch, h, w, 3)), jnp.bfloat16)
-    tgt = jnp.asarray(
-        rng.integers(0, spec.num_classes + 1, (batch, h, w)), jnp.int32)
+    # the shared production-step builder (benchmarks/common_build.py):
+    # the same assembly bench_trace_step / bench_step_decompose measure,
+    # so the headline and the attribution benches price ONE step
+    b = build_from_config(name, fast_gradconv=fast_gradconv,
+                          fast_aspp=fast_aspp, remat=remat,
+                          dtype=jnp.bfloat16, donate=False)
+    model, spec, mhp = b.model, b.spec, b.mhp
+    state, step, img, tgt = b.state, b.step, b.img, b.tgt
 
     record = {
         "metric": f"{name}_joint_train_step",
         "knobs": {"fast_gradconv": fast_gradconv, "fast_aspp": fast_aspp,
                   "remat": remat},
-        "batch": batch, "window": [h, w],
+        "batch": b.batch, "window": list(b.window),
         "num_prototypes": spec.num_prototypes,
         "num_classes": spec.num_classes,
         "kld_weight": mhp["weights"].kld,
@@ -147,9 +84,10 @@ def bench_config(name: str, iters: int = 8, fast_gradconv: bool = False,
     # (donate=False forces XLA to preserve the ~0.7 GB param+opt
     # argument buffers with copies; measured ~3 ms/step slower)
     import time as _time
-    step_d = make_train_step(model, spec, tx, set(groups), mhp["weights"],
+    step_d = make_train_step(model, spec, b.tx, set(b.groups),
+                             mhp["weights"],
                              ignore_void=mhp["ignore_void_class"],
-                             project_group_simplex=(variant == "group"),
+                             project_group_simplex=(b.variant == "group"),
                              donate=True, remat=remat)
     state_d = jax.tree.map(jnp.copy, state)
     n_steps = max(4 * iters, 24)
@@ -162,7 +100,7 @@ def bench_config(name: str, iters: int = 8, fast_gradconv: bool = False,
     ms = (_time.perf_counter() - t0) / n_steps * 1e3
     record["value"] = round(ms, 2)
     record["unit"] = "ms/step"
-    record["img_per_s"] = round(batch * 1e3 / ms, 2)
+    record["img_per_s"] = round(b.batch * 1e3 / ms, 2)
     rate = 1e3 / ms
     try:
         cost = compiled.cost_analysis()

@@ -147,11 +147,13 @@ def bench_train_arm(root: str, samples: int, workers_list) -> None:
 
     # grain backend (data/grain_loader.py): same sampled stream,
     # grain's read/prefetch engine — the number a user choosing
-    # `loader_backend='grain'` should expect vs the threaded default
-    try:
-        from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
-    except ImportError:
+    # `loader_backend='grain'` should expect vs the threaded default.
+    # grain_loader defers `import grain` to iteration time, so probe
+    # for the optional package itself, not the wrapper module
+    import importlib.util
+    if importlib.util.find_spec("grain") is None:
         return
+    from scaleprotoseg_tpu.data.grain_loader import GrainDataLoader
     for nw in workers_list[-1:]:
         loader = GrainDataLoader(ds, batch_size=2, shuffle=True,
                                  num_workers=nw, drop_last=True)

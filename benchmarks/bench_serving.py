@@ -109,8 +109,15 @@ def main():
     x = jnp.asarray(data, jnp.bfloat16)
     iters = 16 if on_tpu else 4
 
+    # every pure-compute arm syncs on a device-side scalar reduce of the
+    # labels (CLAUDE.md benchmark-sync rule): fetching the full (B,H,W)
+    # label batch through the hosted tunnel would tax each arm by an
+    # amortized tail fetch.  The STREAMING arms below keep fetching —
+    # delivered-to-host labels are the thing they measure.
+    reduce_fn = jax.jit(lambda y: jnp.sum(y.astype(jnp.int32)))
+
     fn = jax.jit(make_serving_fn(model, fast=on_tpu))
-    jit_rate = _measure(lambda a: fn(variables, a), x, iters)
+    jit_rate = _measure(lambda a: reduce_fn(fn(variables, a)), x, iters)
     print(json.dumps({"metric": "serving_jit_img_per_s",
                       "value": round(jit_rate, 3), "batch": batch,
                       "shape": [h, w]}))
@@ -122,7 +129,8 @@ def main():
         save_artifact(art, exported, variables, spec=spec)
         module_mb = os.path.getsize(os.path.join(art, "module.bin")) / 2**20
         served = load_artifact(art)
-        art_rate = _measure(served.predict, x, iters)
+        art_rate = _measure(lambda a: reduce_fn(served.predict(a)), x,
+                            iters)
         print(json.dumps({"metric": "serving_artifact_img_per_s",
                           "value": round(art_rate, 3),
                           "module_mb": round(module_mb, 2),
@@ -242,7 +250,8 @@ def main():
             xb = jnp.asarray(data[:1].repeat(b, axis=0)
                              if b > batch else data[:b], jnp.bfloat16)
             it = max(4, iters // max(1, b // batch))
-            dyn_rate = _measure(served_dyn.predict, xb, it)
+            dyn_rate = _measure(
+                lambda a: reduce_fn(served_dyn.predict(a)), xb, it)
             line = {"metric": "serving_dynbatch_img_per_s",
                     "value": round(dyn_rate, 3), "batch": b}
             if b == batch:
@@ -256,7 +265,7 @@ def main():
     model_q8, _ = _flagship(tiny=not on_tpu, grouped=True,
                             fast_aspp=False, quant8=True)
     fn_q8 = jax.jit(make_serving_fn(model_q8, fast=on_tpu))
-    q8_rate = _measure(lambda a: fn_q8(variables, a), x, iters)
+    q8_rate = _measure(lambda a: reduce_fn(fn_q8(variables, a)), x, iters)
     print(json.dumps({"metric": "serving_quant8_img_per_s",
                       "value": round(q8_rate, 3),
                       "vs_bf16": round(q8_rate / jit_rate, 3)}))

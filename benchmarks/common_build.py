@@ -21,13 +21,14 @@ class BuiltStep(NamedTuple):
     spec: object
     variables: dict        # zeros at real shapes (weights don't matter)
     state: object          # TrainState over the joint-phase groups
-    step: object           # jitted train step (donate=False)
+    step: object           # jitted train step (donate per the flag)
     mhp: dict              # module_hparams(variant)
     groups: dict           # phase_groups for the joint phase
     img: object
     tgt: object
     batch: int
     window: tuple
+    tx: object             # the phase optimizer (rebuild steps with it)
 
 
 def build_from_config(name: str, *, fast_gradconv: bool = False,
@@ -108,4 +109,4 @@ def build_from_config(name: str, *, fast_gradconv: bool = False,
     tgt = jnp.asarray(
         rng.integers(0, spec.num_classes + 1, (batch, h, w)), jnp.int32)
     return BuiltStep(name, variant, model, spec, variables, state, step,
-                     mhp, groups, img, tgt, batch, (h, w))
+                     mhp, groups, img, tgt, batch, (h, w), tx)

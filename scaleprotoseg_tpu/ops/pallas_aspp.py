@@ -53,14 +53,16 @@ def _pick_chunk(c: int, chunk_c: int) -> int:
     """Largest divisor of ``c`` that is <= the requested chunk cap (so
     the VMEM budget is never exceeded for awkward channel counts).
     When ``c`` is lane-aligned (multiple of 128) only lane-aligned
-    chunks are considered: the kernel's manual HBM->VMEM copy slices
+    chunks are considered — the kernel's manual HBM->VMEM copy slices
     the channel axis, and Mosaic requires slices along the lane
-    dimension to be 128-aligned."""
+    dimension to be 128-aligned — so a requested cap below 128 rounds
+    up to the 128 minimum."""
     step = 128 if c % 128 == 0 else 1
-    for cand in range(min(c, chunk_c) // step * step, 0, -step):
+    for cand in range(max(min(c, chunk_c) // step * step, step), 0,
+                      -step):
         if c % cand == 0:
             return cand
-    raise AssertionError(c)  # unreachable: 1 divides c
+    raise AssertionError(c)  # unreachable: step divides c
 
 
 def fused_aspp(x: jax.Array, weights: Sequence[jax.Array],

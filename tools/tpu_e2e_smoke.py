@@ -87,6 +87,21 @@ def main() -> int:
                               tpu_recipe=True)
     d()
     assert os.path.exists(proto_final), proto_final
+    # push-stage invariants (carried over from the pre-r5 smoke): the
+    # checkpoint family, a non-empty pushed-prototype book, and logged
+    # validation metrics — a silently-empty push or a broken metrics
+    # sink must fail here, not surface as a weird group-finetune result
+    proto_dir = os.path.dirname(os.path.dirname(proto_final))
+    for name in ("nopush_last.ckpt", "push_last.ckpt", "push_final.ckpt"):
+        assert os.path.exists(os.path.join(proto_dir, "checkpoints",
+                                           name)), name
+    with open(os.path.join(proto_dir, "prototypes",
+                           "unique_prototypes.json")) as f:
+        assert len(json.load(f)) >= 1
+    with open(os.path.join(proto_dir, "metrics.jsonl")) as f:
+        accs = [json.loads(line).get("val_accuracy")
+                for line in f if "val_accuracy" in line]
+    assert accs, "no val_accuracy logged"
 
     # ---- 2. group finetune ------------------------------------------
     from scaleprotoseg_tpu.finetune_wandb_group import train as train_group
