@@ -96,23 +96,17 @@ def main():
         rec["hlo"] = g.get("long_name", "")[:150]
         print(json.dumps(rec), flush=True)
 
-    from collections import defaultdict
-    cats = defaultdict(int)
-    cflops = defaultdict(int)
-    cbytes = defaultdict(int)
-    for g in groups.values():
-        cats[g["category"]] += g["ps"]
-        cflops[g["category"]] += g["flops"]
-        cbytes[g["category"]] += g["bytes"]
-    for c, ps in sorted(cats.items(), key=lambda kv: -kv[1]):
-        sec = ps / 1e12
+    from xprof_top_ops import rollup_categories
+    for c, g in sorted(rollup_categories(groups).items(),
+                       key=lambda kv: -kv[1]["ps"]):
+        sec = g["ps"] / 1e12
         rec = {"category": c,
-               "ms_per_step": round(ps / 1e9 / n_steps, 3),
-               "pct": round(100 * ps / max(total_ps, 1), 1)}
-        if cflops[c]:
-            rec["tflops_per_s"] = round(cflops[c] / sec / 1e12, 1)
-        if cbytes[c]:
-            rec["gb_per_s"] = round(cbytes[c] / sec / 1e9, 0)
+               "ms_per_step": round(g["ps"] / 1e9 / n_steps, 3),
+               "pct": round(100 * g["ps"] / max(total_ps, 1), 1)}
+        if g["flops"]:
+            rec["tflops_per_s"] = round(g["flops"] / sec / 1e12, 1)
+        if g["bytes"]:
+            rec["gb_per_s"] = round(g["bytes"] / sec / 1e9, 0)
         print(json.dumps(rec), flush=True)
 
     print(json.dumps({

@@ -73,25 +73,16 @@ class GrainDataLoader(DataLoader):
         dataset = self.dataset
         ds = (grain.MapDataset.source(list(indices))
               .map(lambda i: dataset[int(i)]))
+        it_ds = ds.to_iter_dataset(grain.ReadOptions(
+            num_threads=1 if self.use_processes else self.num_workers,
+            prefetch_buffer_size=max(self.prefetch, 1) * self.batch_size))
         if self.use_processes:
-            # process workers run the augmentation map; batching stays
-            # in the parent (grain's shared-memory batch transfer needs
-            # leaf arrays per element)
-            it_ds = ds.to_iter_dataset(grain.ReadOptions(
-                num_threads=1,
-                prefetch_buffer_size=max(self.prefetch, 1)
-                * self.batch_size))
+            # process workers run the augmentation map; batching happens
+            # AFTER (in the parent): grain's shared-memory transfer
+            # needs leaf arrays per element
             it_ds = it_ds.mp_prefetch(grain.MultiprocessingOptions(
                 num_workers=self.num_workers))
-            it_ds = it_ds.batch(self.batch_size,
-                                drop_remainder=self.drop_last)
-        else:
-            it_ds = ds.to_iter_dataset(grain.ReadOptions(
-                num_threads=self.num_workers,
-                prefetch_buffer_size=max(self.prefetch, 1)
-                * self.batch_size))
-            it_ds = it_ds.batch(self.batch_size,
-                                drop_remainder=self.drop_last)
+        it_ds = it_ds.batch(self.batch_size, drop_remainder=self.drop_last)
         # copy under mp: the batches are views of grain's shared-memory
         # blocks — copying lets the segments free as soon as the batch
         # is consumed (asarray views would pin them)

@@ -101,6 +101,21 @@ def aggregate(d: dict, steps_from: int = 1, merge_dots: bool = False):
     return groups, total_ps, wall_ps, n_steps
 
 
+def rollup_categories(groups) -> dict:
+    """Sum per-op groups into per-HLO-category totals (ps/flops/bytes/
+    count) — shared by this CLI and bench_trace_step.py."""
+    cats = defaultdict(lambda: {"ps": 0, "count": 0, "flops": 0,
+                                "bytes": 0, "category": "", "name": ""})
+    for g in groups.values():
+        c = cats[g["category"]]
+        c["ps"] += g["ps"]
+        c["count"] += g["count"]
+        c["flops"] += g["flops"]
+        c["bytes"] += g["bytes"]
+        c["category"] = g["category"]
+    return cats
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("trace_dir")
@@ -131,15 +146,7 @@ def main():
             rec["hlo"] = g["long_name"][:160]
         return rec
 
-    cats = defaultdict(lambda: {"ps": 0, "count": 0, "flops": 0,
-                                "bytes": 0, "category": "", "name": ""})
-    for g in groups.values():
-        c = cats[g["category"]]
-        c["ps"] += g["ps"]
-        c["count"] += g["count"]
-        c["flops"] += g["flops"]
-        c["bytes"] += g["bytes"]
-        c["category"] = g["category"]
+    cats = rollup_categories(groups)
 
     if not a.by_category:
         for key, g in sorted(groups.items(), key=lambda kv: -kv[1]["ps"]
